@@ -1,0 +1,212 @@
+"""Per-platform extraction operators (SURVEY §2.9 E2–E5, §2.1 S9–S13).
+
+Design rule: **stay JVM-side wherever byte-compatible**. Every platform's
+state blob is pulled out with native ``regexp_extract`` + ``from_json`` —
+whole-stage-codegen friendly, no Python in the hot path:
+
+- xhs      — ``window.__INITIAL_STATE__={...}`` with ``:undefined`` tokens
+             (reference patches them: media_platform/xhs/client.py:443,582);
+             the native path patches with ``regexp_replace`` before
+             ``from_json``. The reference's recursive camelCase→snake_case
+             rewrite (client.py:556-572) is inherently non-relational, so a
+             faithful Arrow pandas UDF (``xhs_initial_state_udf``) is
+             provided and parity-tested against a row-wise oracle; the
+             engine itself reads the known fields natively (faster, same
+             bytes).
+- weibo    — ``var $render_data = [{...}][0]`` regex
+             (media_platform/weibo/client.py:224-229) → ``from_json``.
+- zhihu    — ``<script id="js-initialData">`` JSON with a *dynamic* note-id
+             key under entities.answers (media_platform/zhihu/help.py:332)
+             → ``from_json`` with a MapType schema + ``map_values``.
+- tieba    — html-escaped ``data-field`` JSON attributes
+             (media_platform/tieba/help.py:346-356): entity-unescape via
+             regexp_replace chain → ``from_json``; body text via the
+             byte-identical kernel.
+- douyin / kuaishou / bilibili — API-JSON body → ``from_json``.
+
+Comment cursor pages (J2/J3) are pure ``from_json`` + ``posexplode``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Unified state-blob schema (DDL string keeps it terse; camelCase matches
+# the on-page JSON, renamed to snake_case in the projection below, mirroring
+# store/xhs/__init__.py:89-111 field normalization).
+STATE_DDL = (
+    "note_id string, title string, desc string, "
+    "user struct<userId:string, nickname:string>, "
+    "interactInfo struct<likedCount:string>, time long, videoUrl string"
+)
+
+COMMENT_PAGE_DDL = (
+    "has_more boolean, cursor string, "
+    "comments array<struct<id:string, content:string, create_time:long, sub_comment_count:int>>"
+)
+
+# URL-type dispatch (reference S12: judge_zhihu_url, zhihu/help.py:448-467).
+def classify_url_col(url: Column) -> Column:
+    return (
+        F.when(url.contains("/api/subcomments/"), F.lit("subcomments"))
+        .when(url.contains("/api/comments/"), F.lit("comments"))
+        .otherwise(F.lit("content"))
+    )
+
+
+def platform_col(host: Column) -> Column:
+    """h0.xhs.example → xhs."""
+    return F.element_at(F.split(host, r"\."), -2)
+
+
+def _state_json_col(html_str: Column, platform: Column) -> Column:
+    """Pull the raw state JSON out of the page body, per platform."""
+    xhs = F.regexp_extract(html_str, r"(?s)window\.__INITIAL_STATE__=(\{.*?\})</script>", 1)
+    weibo = F.regexp_extract(html_str, r"(?s)var \$render_data = \[(\{.*?\})\]\[0\]", 1)
+    zhihu = F.regexp_extract(
+        html_str, r'(?s)<script id="js-initialData"[^>]*>(\{.*?\})</script>', 1
+    )
+    api = F.regexp_extract(html_str, r'(?s)<script id="api-json"[^>]*>(\{.*?\})</script>', 1)
+    tieba = F.regexp_extract(html_str, r'data-field="([^"]*)"', 1)
+    return (
+        F.when(platform == "xhs", F.regexp_replace(xhs, ":undefined", ":null"))
+        .when(platform == "weibo", weibo)
+        .when(platform == "zhihu", zhihu)
+        .when(platform == "tieba", _html_unescape(tieba))
+        .otherwise(api)
+    )
+
+
+def _html_unescape(c: Column) -> Column:
+    # The entities the reference's fixtures carry (html.unescape analog for
+    # the data-field attribute path, tieba/help.py:351-352). &amp; last so
+    # double-escapes resolve in the same order as html.unescape.
+    for ent, ch in (("&quot;", '"'), ("&#39;", "'"), ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        c = F.regexp_replace(c, ent, ch)
+    return c
+
+
+_ZHIHU_DDL = (
+    "initialState struct<entities struct<answers map<string, struct<"
+    "note_id string, title string, desc string, "
+    "user struct<userId:string, nickname:string>, "
+    "interactInfo struct<likedCount:string>, time long, videoUrl string>>>>"
+)
+
+_TIEBA_DDL = "author struct<user_id:string, user_name:string>"
+
+
+def extract_content(pages: DataFrame) -> DataFrame:
+    """Content pages → normalized content rows (P1 projection).
+
+    Expects columns url, host, html (binary), text. Emits the CONTENT
+    field set minus ordering/lineage (attached by the crawl loop).
+    """
+    html_str = F.decode(F.col("html"), "UTF-8")
+    plat = platform_col(F.col("host"))
+    raw = _state_json_col(html_str, plat)
+    state = F.from_json(raw, STATE_DDL)
+    zhihu_state = F.element_at(
+        F.map_values(F.from_json(raw, _ZHIHU_DDL)["initialState"]["entities"]["answers"]), 1
+    )
+    tieba_state = F.from_json(raw, _TIEBA_DDL)
+
+    note_id = F.element_at(F.split(F.element_at(F.split(F.col("url"), r"\?"), 1), "/"), -1)
+    eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
+    return pages.select(
+        F.col("url"),
+        plat.alias("platform"),
+        F.col("host"),
+        # reference falls back to URL-derived id (xhs/help.py:294-306)
+        F.coalesce(eff["note_id"], note_id).alias("note_id"),
+        eff["title"].alias("title"),
+        eff["desc"].alias("desc"),
+        F.col("text"),
+        F.when(plat == "tieba", tieba_state["author"]["user_id"])
+        .otherwise(eff["user"]["userId"]).alias("user_id"),
+        F.when(plat == "tieba", tieba_state["author"]["user_name"])
+        .otherwise(eff["user"]["nickname"]).alias("nickname"),
+        eff["interactInfo"]["likedCount"].alias("liked_count"),
+        eff["time"].alias("time"),
+    )
+
+
+def extract_comment_pages(pages: DataFrame) -> DataFrame:
+    """Comment cursor pages → (page-level cursor info, exploded comments).
+
+    One row per comment with its on-page position (``item_idx`` — the
+    deterministic ordering key W4); page-level ``has_more``/``next_cursor``
+    are carried on every row for the frontier-emission step (J2/J3
+    iterative-join semantics, media_platform/xhs/client.py:325-428).
+    """
+    parsed = pages.withColumn(
+        "_page", F.from_json(F.decode(F.col("html"), "UTF-8"), COMMENT_PAGE_DDL)
+    )
+    note_id = F.regexp_extract(F.col("url"), r"/api/(?:sub)?comments/([^?]+)", 1)
+    kind = classify_url_col(F.col("url"))
+    exploded = parsed.select(
+        F.col("url"),
+        F.col("host"),
+        kind.alias("kind"),
+        note_id.alias("target_id"),
+        F.col("_page.has_more").alias("has_more"),
+        F.col("_page.cursor").alias("next_cursor"),
+        F.posexplode_outer(F.col("_page.comments")).alias("item_idx", "c"),
+    )
+    return exploded.select(
+        "url", "host", "kind", "target_id", "has_more", "next_cursor", "item_idx",
+        F.col("c.id").alias("comment_id"),
+        F.col("c.content").alias("content"),
+        F.col("c.create_time").alias("create_time"),
+        F.col("c.sub_comment_count").alias("sub_comment_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 — faithful xhs __INITIAL_STATE__ extractor as an Arrow pandas UDF:
+# regex pull + ":undefined"→":null" patch + recursive camelCase→snake_case
+# (reference: media_platform/xhs/client.py:534-592). Returns the rewritten
+# JSON string; parity-tested against `xhs_initial_state_py`.
+_INITIAL_STATE_RE = re.compile(r"window\.__INITIAL_STATE__=(\{.*?\})</script>", re.DOTALL)
+_CAMEL_RE = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def _snake(name: str) -> str:
+    return _CAMEL_RE.sub("_", name).lower()
+
+
+def _rewrite_keys(obj):
+    if isinstance(obj, dict):
+        return {_snake(k): _rewrite_keys(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_rewrite_keys(v) for v in obj]
+    return obj
+
+
+def xhs_initial_state_py(html: str | bytes | None) -> str | None:
+    """Row-wise oracle for the xhs HTML-fallback extractor."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8")
+    if not html:
+        return None
+    m = _INITIAL_STATE_RE.search(html)
+    if not m:
+        return None
+    raw = m.group(1).replace(":undefined", ":null")
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError:
+        return None
+    return json.dumps(_rewrite_keys(obj), ensure_ascii=False, separators=(",", ":"))
+
+
+@pandas_udf(StringType())
+def xhs_initial_state_udf(html: pd.Series) -> pd.Series:
+    return html.map(xhs_initial_state_py)

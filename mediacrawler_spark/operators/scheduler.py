@@ -1,0 +1,94 @@
+"""Frontier scheduling: robots gate, per-host politeness quota, priority (W3/O6).
+
+The reference serializes all requests behind ``MAX_CONCURRENCY_NUM = 1`` plus
+random sleeps (config/base_config.py:77,109; media_platform/xhs/core.py:313-317)
+— global, not per-host. The engine's contract (north_rule) is stronger:
+
+- **robots gate** — broadcast join against the small ``robots`` rules table;
+  denied hosts are marked, never fetched (the reference has no robots
+  handling at all, SURVEY S18).
+- **per-host budget** — at most ``max_per_round`` URLs per host per round,
+  chosen by (priority, ordering-key): a rank-per-host window.
+- **skew** — frontier URLs follow a Zipf host distribution, so a naive
+  ``Window.partitionBy(host)`` funnels the hot host into one task. The
+  two-phase salted rank keeps parallelism: phase 1 ranks within
+  (host, salt) shards; phase 2 only re-ranks the ≤ S·budget survivors per
+  host — the second window sees a bounded row count per host regardless of
+  how hot the host is, so the plan survives a 100× scale-up.
+
+Budget correctness is per **host**, never per salted shard (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "keyword", "page", "item_idx", "cursor_seq", "url"]
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Split-mark frontier rows by the robots rules table (broadcast dim).
+
+    Unknown hosts default to allowed with the default budget (matches real
+    crawler behavior for hosts without robots.txt).
+    """
+    r = F.broadcast(robots.select("host", "allow", "max_per_round"))
+    joined = frontier.join(r, on="host", how="left")
+    return joined.withColumn(
+        "allow", F.coalesce(F.col("allow"), F.lit(True))
+    ).withColumn("max_per_round", F.coalesce(F.col("max_per_round"), F.lit(200)))
+
+
+def select_round(
+    frontier: DataFrame,
+    robots: DataFrame,
+    round_id: int,
+    n_salts: int = 8,
+    global_limit: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pick this round's fetch set under robots + per-host budget.
+
+    Returns ``(scheduled, denied)``; ``denied`` rows carry
+    ``state='robots_denied'`` and leave the frontier permanently.
+    """
+    gated = robots_gate(
+        frontier.filter(
+            (F.col("state") == "open") & (F.col("not_before_round") <= F.lit(round_id))
+        ),
+        robots,
+    )
+    denied = (
+        gated.filter(~F.col("allow"))
+        .drop("allow", "max_per_round")
+        .withColumn("state", F.lit("robots_denied"))
+    )
+    eligible = gated.filter(F.col("allow"))
+
+    # Phase 1: rank within (host, salt) shards — fully parallel even for a
+    # host holding 50% of the frontier. Keep only rows that could possibly
+    # make the per-host cut: shard-rank ≤ host budget.
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS])
+    pre = (
+        eligible.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("max_per_round"))
+    )
+    # Phase 2: exact rank within host over ≤ n_salts·budget survivors.
+    w2 = Window.partitionBy("host").orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS])
+    scheduled = (
+        pre.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col("max_per_round"))
+        .drop("_salt", "_r1", "_r2", "allow", "max_per_round")
+    )
+    if global_limit is not None:
+        # O3-style global budget: deterministic order, then limit.
+        scheduled = scheduled.orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS]).limit(global_limit)
+    return scheduled, denied
+
+
+def backoff_round(attempts_col: F.Column) -> F.Column:
+    """Retry backoff in rounds: the bilibili schedule 5·2^n (client.py:257-269)
+    mapped from seconds to rounds — attempt n retries after 2^n rounds."""
+    return F.least(F.pow(F.lit(2.0), attempts_col).cast("int"), F.lit(8))

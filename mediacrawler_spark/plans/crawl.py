@@ -1,0 +1,356 @@
+"""The crawl engine: BSP rounds over a materialized frontier table.
+
+The reference's crawl "plan" is hard-coded sequential control flow — per
+keyword page loops, per-note comment cursor loops, per-comment sub-cursor
+loops (media_platform/xhs/core.py:116-169, client.py:325-428) — with all
+state in loop-local variables and politeness enforced by sleeps + a
+semaphore of 1 (config/base_config.py:77,109). The engine re-expresses that
+as **iterative DataFrame rounds** (SURVEY §3 lifecycle mapping):
+
+    round k:
+      select   — robots gate + per-host politeness window + priority
+                 (operators.scheduler; salted two-phase rank for hot hosts)
+      fetch    — broadcast fetch-join of the scheduled batch against the
+                 pages table (J1/S8: the scheduled side is small by
+                 construction — per-host budgets bound it — so it
+                 broadcasts; the 100 TB pages scan stays pruned to
+                 url/host/html/text columns)
+      extract  — native from_json/regexp extraction (operators.extract);
+                 content rows + comment rows + next-cursor emissions
+      dedup    — Bloom-prefiltered exact anti-join vs seen (operators.seen)
+      merge    — frontier' = leftover + retries + new URLs; seen' += fetched;
+                 checkpoint everything, truncating lineage
+
+Driver does orchestration only — every data operation is a distributed
+DataFrame op. State lives in checkpointed tables (parquet here; Iceberg
+MERGE on a cluster — same logical semantics), so the crawl **resumes** from
+the last completed round (north_rule; stronger than the reference, which
+only has store-time dedup + START_PAGE skip, SURVEY §2.10).
+
+Determinism: the crawl order is defined by explicit ordering-key columns
+(keyword, page, item_idx, cursor_seq — W4), never by partition iteration
+order; equivalence with a sequential reference-semantics simulator is
+asserted in tests/test_crawl_equivalence.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.functions.text import url_note_id_col
+from mediacrawler_spark.operators import extract as X
+from mediacrawler_spark.operators import scheduler as sched
+from mediacrawler_spark.operators import seen as seen_ops
+
+MAX_ATTEMPTS = 3  # reference: tenacity 3 retries (xhs/client.py:82)
+
+_FRONTIER_COLS = [
+    "url", "host", "priority", "depth", "state", "cursor", "attempts",
+    "not_before_round", "keyword", "page", "item_idx", "cursor_seq", "round_id",
+]
+
+
+@dataclass
+class CrawlResult:
+    content: DataFrame
+    comments: DataFrame
+    seen: DataFrame
+    frontier: DataFrame
+    metrics: DataFrame
+    denied: DataFrame
+    rounds: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        checkpoint_dir: str | None = None,
+        enable_sub_comments: bool = True,  # reference ENABLE_GET_SUB_COMMENTS (base_config.py:90)
+        max_comments_per_note: int | None = None,  # CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES analog
+        use_bloom: bool = True,
+        n_salts: int = 8,
+        global_limit: int | None = None,
+    ):
+        self.spark = spark
+        # column-pruned pages scan: never drag html for rows we don't fetch
+        self.pages = pages.select("url", "warc_ts", "html", "text")
+        self.robots = robots
+        self.ckpt = checkpoint_dir
+        self.enable_sub_comments = enable_sub_comments
+        self.max_comments_per_note = max_comments_per_note
+        self.use_bloom = use_bloom
+        self.n_salts = n_salts
+        self.global_limit = global_limit
+
+    # -- state materialization ---------------------------------------------
+    def _materialize(self, df: DataFrame, round_id: int, name: str) -> DataFrame:
+        if self.ckpt:
+            path = os.path.join(self.ckpt, f"round={round_id:05d}", name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    # -- seeding -----------------------------------------------------------
+    def seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        return seeds.select(
+            F.col("url"),
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit("open").alias("state"),
+            F.lit(None).cast("string").alias("cursor"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("not_before_round"),
+            F.col("keyword"),
+            F.lit(0).alias("page"),
+            F.lit(0).alias("item_idx"),
+            F.lit(0).alias("cursor_seq"),
+            F.lit(0).alias("round_id"),
+        ).dropDuplicates(["url"])
+
+    # -- one BSP round ------------------------------------------------------
+    def _round(self, frontier: DataFrame, seen: DataFrame, round_id: int):
+        scheduled, denied = sched.select_round(
+            frontier, self.robots, round_id, self.n_salts, self.global_limit
+        )
+        # Fetch-join: scheduled batch is bounded by per-host budgets →
+        # broadcast it against the big pages table (J1).
+        fetched = self.pages.join(F.broadcast(scheduled), on="url", how="inner")
+        misses = scheduled.join(fetched.select("url"), on="url", how="left_anti")
+
+        kind = X.classify_url_col(F.col("url"))
+        fetched = fetched.withColumn("kind", kind)
+
+        # --- content extraction (P1 + E2–E5) ---
+        content_pages = fetched.filter(F.col("kind") == "content")
+        content = X.extract_content(content_pages).join(
+            content_pages.select("url", "keyword", "page", "item_idx", "cursor_seq"),
+            on="url",
+        ).select(
+            "note_id", "url", "platform", "title", "desc", "text",
+            "user_id", "nickname", "liked_count", "time",
+            F.col("keyword").alias("source_keyword"),
+            F.col("keyword").alias("ord_keyword"),
+            F.col("page").alias("ord_page"),
+            F.col("item_idx").alias("ord_item_idx"),
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+            F.lit(round_id).alias("round_id"),
+        )
+
+        # comment-count discovery from the page body → seed first cursor page
+        n_com = F.regexp_extract(F.decode(F.col("html"), "UTF-8"), r"comments:(\d+)", 1)
+        comment_seeds = (
+            content_pages.withColumn("_n", F.nullif(n_com, F.lit("")).cast("int"))
+            .filter(F.col("_n") > 0)
+            .select(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
+                    url_note_id_col(F.col("url")), F.lit("?cursor=0"),
+                ).alias("url"),
+                "host",
+                F.col("priority"),
+                (F.col("depth") + 1).alias("depth"),
+                "keyword", "page", "item_idx",
+                F.lit(0).alias("cursor_seq"),
+            )
+        )
+
+        # --- comment extraction (J2/J3) ---
+        comment_pages = fetched.filter(F.col("kind") != "content")
+        # item_idx from extraction = comment position on the page (W4 key);
+        # f_item_idx = the frontier row's inherited position.
+        cx = X.extract_comment_pages(
+            comment_pages.select("url", "host", "html")
+        ).join(
+            comment_pages.select(
+                "url", "priority", "depth", "keyword", "page",
+                F.col("item_idx").alias("f_item_idx"), "cursor_seq",
+            ),
+            on="url",
+        )
+        comments = cx.filter(F.col("comment_id").isNotNull()).select(
+            "comment_id",
+            F.when(F.col("kind") == "comments", F.col("target_id"))
+            .otherwise(F.regexp_extract(F.col("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
+            F.when(F.col("kind") == "subcomments", F.col("target_id"))
+            .otherwise(F.lit(None).cast("string")).alias("parent_comment_id"),
+            "content",
+            "create_time",
+            "sub_comment_count",
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+            F.col("item_idx").alias("ord_item_idx"),
+            F.lit(round_id).alias("round_id"),
+        )
+
+        page_info = cx.select(
+            "url", "host", "kind", "target_id", "has_more", "next_cursor",
+            "priority", "depth", "keyword", "page", "f_item_idx", "cursor_seq",
+        ).dropDuplicates(["url"])
+        next_cursor_seeds = page_info.filter(F.col("has_more")).select(
+            F.concat(
+                F.lit("https://"), F.col("host"),
+                F.when(F.col("kind") == "comments", F.lit("/api/comments/")).otherwise(F.lit("/api/subcomments/")),
+                F.col("target_id"), F.lit("?cursor="), F.col("next_cursor"),
+            ).alias("url"),
+            "host", "priority", "depth", "keyword", "page",
+            F.col("f_item_idx").alias("item_idx"),
+            (F.col("cursor_seq") + 1).alias("cursor_seq"),
+        )
+        sub_seeds = (
+            cx.filter(
+                (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
+            ).select(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
+                    F.col("comment_id"), F.lit("?cursor=0"),
+                ).alias("url"),
+                "host", "priority",
+                (F.col("depth") + 1).alias("depth"),
+                "keyword", "page",
+                F.col("item_idx"),
+                F.lit(0).alias("cursor_seq"),
+            )
+            if self.enable_sub_comments
+            else self.spark.createDataFrame(
+                [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
+            )
+        )
+
+        # --- frontier maintenance ---
+        discovered = (
+            comment_seeds.unionByName(next_cursor_seeds).unionByName(sub_seeds)
+            .dropDuplicates(["url"])
+        )
+        active_urls = frontier.select("url")
+        unseen_fn = seen_ops.unseen_bloom_prefiltered if self.use_bloom else seen_ops.unseen_exact
+        new_urls = unseen_fn(discovered, seen).join(active_urls, on="url", how="left_anti")
+        new_frontier_rows = new_urls.select(
+            "url", "host",
+            F.col("priority").cast("int"),
+            F.col("depth").cast("int"),
+            F.lit("open").alias("state"),
+            F.lit(None).cast("string").alias("cursor"),
+            F.lit(0).alias("attempts"),
+            # politeness: newly discovered URLs wait at least one round
+            # (crawl_delay analog; retries use exponential backoff below)
+            F.lit(round_id + 1).alias("not_before_round"),
+            "keyword", "page", "item_idx", "cursor_seq",
+            F.lit(round_id).alias("round_id"),
+        )
+
+        retries = (
+            misses.withColumn("attempts", F.col("attempts") + 1)
+            .withColumn(
+                "state",
+                F.when(F.col("attempts") >= MAX_ATTEMPTS, F.lit("failed")).otherwise(F.lit("open")),
+            )
+            .withColumn(
+                "not_before_round",
+                F.lit(round_id) + sched.backoff_round(F.col("attempts")),
+            )
+            .withColumn("round_id", F.lit(round_id))
+            .select(*_FRONTIER_COLS)
+        )
+
+        leftover = frontier.filter(F.col("state") == "open").join(
+            scheduled.select("url").unionByName(denied.select("url")),
+            on="url", how="left_anti",
+        )
+        new_frontier = (
+            leftover
+            .unionByName(retries.filter(F.col("state") == "open"))
+            .unionByName(new_frontier_rows)
+        )
+
+        fetched_urls = fetched.select("url")
+        new_seen = seen.unionByName(
+            fetched_urls.withColumn("round_id", F.lit(round_id)).select("url", "round_id")
+        )
+
+        # --- per-host round metrics (north_rule lineage counters) ---
+        def _per_host(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy("host").agg(F.count("*").alias(name))
+
+        metrics = (
+            _per_host(scheduled, "scheduled")
+            .join(_per_host(fetched, "fetched"), "host", "full")
+            .join(_per_host(content_pages, "parsed"), "host", "full")
+            .join(_per_host(misses, "failed"), "host", "full")
+            .select(
+                F.lit(round_id).alias("round_id"),
+                "host",
+                F.coalesce("scheduled", F.lit(0)).alias("scheduled"),
+                F.coalesce("fetched", F.lit(0)).alias("fetched"),
+                F.coalesce("parsed", F.lit(0)).alias("parsed"),
+                F.coalesce("failed", F.lit(0)).alias("failed"),
+                F.lit(0).cast("long").alias("deduped"),
+            )
+        )
+        return content, comments, new_seen, new_frontier, metrics, denied
+
+    # -- the driver loop ----------------------------------------------------
+    def run(self, seeds: DataFrame, max_rounds: int = 50, resume: bool = False) -> CrawlResult:
+        spark = self.spark
+        empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
+        start_round = 0
+        if resume and self.ckpt and os.path.isdir(self.ckpt):
+            done = sorted(d for d in os.listdir(self.ckpt) if d.startswith("round="))
+            if done:
+                last = os.path.join(self.ckpt, done[-1])
+                frontier = spark.read.parquet(os.path.join(last, "frontier"))
+                seen = spark.read.parquet(os.path.join(last, "seen"))
+                start_round = int(done[-1].split("=")[1]) + 1
+            else:
+                resume = False
+        if start_round == 0:
+            frontier = self.seed_frontier(seeds)
+            if self.ckpt is None:
+                frontier = frontier.localCheckpoint(eager=True)
+            seen = empty("url string, round_id int")
+
+        all_content, all_comments, all_metrics, all_denied = [], [], [], []
+        r = start_round
+        for r in range(start_round, max_rounds):
+            content, comments, seen, frontier, metrics, denied = self._round(frontier, seen, r)
+            # materialize round outputs (checkpoint + lineage truncation)
+            content = self._materialize(content, r, "content_delta")
+            comments = self._materialize(comments, r, "comments_delta")
+            seen = self._materialize(seen, r, "seen")
+            frontier = self._materialize(frontier, r, "frontier")
+            metrics = self._materialize(metrics, r, "metrics_delta")
+            denied = self._materialize(denied.select(*_FRONTIER_COLS), r, "denied_delta")
+            all_content.append(content)
+            all_comments.append(comments)
+            all_metrics.append(metrics)
+            all_denied.append(denied)
+            if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
+                break
+
+        return CrawlResult(
+            content=_union_all(all_content) if all_content else empty("note_id string"),
+            comments=_union_all(all_comments) if all_comments else empty("comment_id string"),
+            seen=seen,
+            frontier=frontier,
+            metrics=_union_all(all_metrics) if all_metrics else empty("round_id int, host string"),
+            denied=_union_all(all_denied) if all_denied else empty("url string"),
+            rounds=r + 1,
+        )
+
+    def clear_checkpoint(self):
+        if self.ckpt and os.path.isdir(self.ckpt):
+            shutil.rmtree(self.ckpt)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out

@@ -1,0 +1,309 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` corpus.
+
+The reference ships golden HTML fixtures for its extractor tests that are
+absent from the repo (media_platform/tieba/help.py:359-418 reads
+``test_data/*.html`` which is `.MISSING_LARGE_BLOBS`), so we synthesize
+equivalents. Pages are derived **entirely from the driver-provided
+``documents`` table** with native column expressions — no wall clock, no
+randomness, no collect — so generation itself distributes: the same code
+produces a 10^10-row corpus on a cluster by pointing it at a bigger
+documents table.
+
+Corpus shape (FIXTURES.md §1/§4):
+
+- one *content page* per document, on a per-platform host with Zipf-ish
+  host skew (hot hosts get ~50% of URLs) so politeness windows and skew
+  salting have real work;
+- *comment pages* per content page (``/api/comments/<note_id>?cursor=k``)
+  whose body is an xhs-shaped JSON cursor page
+  (media_platform/xhs/client.py:325-368 semantics: cursor + has_more);
+  a small fraction of notes are "viral" (200 comments → 20 cursor pages)
+  to exercise hot-key expansion (SURVEY §7 hot-host skew);
+- *sub-comment pages* for comments with sub_comment_count>0 (the J3
+  two-level thread, schema/tables.sql parent_comment_id adjacency);
+- content html embeds platform-shaped state blobs
+  (``window.__INITIAL_STATE__`` with ``:undefined`` tokens for xhs,
+  ``var $render_data = [..][0]`` for weibo, ``js-initialData`` script for
+  zhihu, escaped ``data-field`` JSON attributes for tieba) plus
+  script/style noise so the byte-identical text kernel is exercised on
+  every page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.functions.text import extract_text_udf
+
+PLATFORMS = ["xhs", "tieba", "weibo", "zhihu", "douyin", "kuaishou", "bilibili"]
+
+# epoch seconds for 2025-01-01T00:00:00Z — fixed origin, no wall clock.
+_TS0 = 1735689600
+
+
+def _base(documents: DataFrame) -> DataFrame:
+    """Shared deterministic attributes per document."""
+    d = documents.select("doc_id", "text", "lang")
+    plat = F.element_at(
+        F.array(*[F.lit(p) for p in PLATFORMS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(PLATFORMS))) + 1).cast("int"),
+    )
+    hr = F.pmod(F.xxhash64(F.lit("host"), F.col("doc_id")), F.lit(16))
+    host_idx = (
+        F.when(hr < 8, 0).when(hr < 12, 1).when(hr < 14, 2).otherwise(3)
+    )
+    host = F.concat(F.lit("h"), host_idx.cast("string"), F.lit("."), plat, F.lit(".example"))
+    note_id = F.concat(F.lit("n"), F.col("doc_id").cast("string"))
+    # viral notes (~1%) get 200 comments; normal notes 0..24.
+    n_comments = F.when(
+        F.pmod(F.col("doc_id"), F.lit(97)) == 0, F.lit(200)
+    ).otherwise(F.pmod(F.xxhash64(F.lit("nc"), F.col("doc_id")), F.lit(25)).cast("int"))
+    warc_ts = F.timestamp_seconds(
+        F.lit(_TS0) + F.pmod(F.col("doc_id"), F.lit(365)) * 86400
+    )
+    return d.select(
+        "doc_id",
+        "text",
+        "lang",
+        plat.alias("platform"),
+        host.alias("host"),
+        note_id.alias("note_id"),
+        n_comments.alias("n_comments"),
+        warc_ts.alias("warc_ts"),
+        F.concat(F.lit("user"), F.pmod(F.col("doc_id"), F.lit(101)).cast("string")).alias("user_id"),
+        F.concat(F.lit("作者"), F.pmod(F.col("doc_id"), F.lit(101)).cast("string")).alias("nickname"),
+        # platform count-strings ("1.2万" style) — parsed by E7 at extraction.
+        F.element_at(
+            F.array(F.lit("328"), F.lit("1.2万"), F.lit("10万+"), F.lit(""), F.lit("5678")),
+            (F.pmod(F.xxhash64(F.lit("lk"), F.col("doc_id")), F.lit(5)) + 1).cast("int"),
+        ).alias("liked_count"),
+        (F.lit(_TS0).cast("long") * 1000 + F.col("doc_id").cast("long") * 1000).alias("create_ms"),
+    )
+
+
+def _json_escape(c):
+    # documents.text is word-soup, but stay defensive: escape \ and ".
+    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\"')
+
+
+def _content_url(b: DataFrame) -> F.Column:
+    path = F.when(F.col("platform") == "xhs", F.concat(F.lit("/explore/"), F.col("note_id"),
+                  F.lit("?xsec_token=tok"), F.col("doc_id").cast("string"), F.lit("&xsec_source=pc_search"))) \
+        .when(F.col("platform") == "tieba", F.concat(F.lit("/p/"), F.col("note_id"))) \
+        .when(F.col("platform") == "weibo", F.concat(F.lit("/detail/"), F.col("note_id"))) \
+        .when(F.col("platform") == "zhihu", F.concat(F.lit("/question/q1/answer/"), F.col("note_id"))) \
+        .otherwise(F.concat(F.lit("/video/"), F.col("note_id")))
+    return F.concat(F.lit("https://"), F.col("host"), path)
+
+
+def _state_json(b: DataFrame) -> F.Column:
+    """Platform-shaped state blob embedded in the content page html."""
+    esc = _json_escape(F.col("text"))
+    title = F.concat(F.lit("title-"), F.col("note_id"))
+    common = F.concat(
+        F.lit('{"note_id":"'), F.col("note_id"),
+        F.lit('","title":"'), title,
+        F.lit('","desc":"'), esc,
+        F.lit('","user":{"userId":"'), F.col("user_id"),
+        F.lit('","nickname":"'), F.col("nickname"),
+        F.lit('"},"interactInfo":{"likedCount":"'), F.col("liked_count"),
+        F.lit('"},"time":'), F.col("create_ms").cast("string"),
+        F.lit(',"videoUrl":undefined}'),
+    )
+    return common
+
+
+def build_content_pages(documents: DataFrame) -> DataFrame:
+    b = _base(documents)
+    state = _state_json(b)
+    # html-escaped data-field JSON for the tieba-style branch
+    # (reference unescapes with html.unescape then json.loads,
+    # media_platform/tieba/help.py:346-356).
+    datafield = F.concat(
+        F.lit("{&quot;author&quot;:{&quot;user_id&quot;:&quot;"), F.col("user_id"),
+        F.lit("&quot;,&quot;user_name&quot;:&quot;"), F.col("nickname"),
+        F.lit("&quot;}}"),
+    )
+    embed = (
+        F.when(F.col("platform") == "xhs",
+               F.concat(F.lit('<script>window.__INITIAL_STATE__='), state, F.lit("</script>")))
+        .when(F.col("platform") == "weibo",
+              F.concat(F.lit("<script>var $render_data = ["), state, F.lit("][0] || {};</script>")))
+        .when(F.col("platform") == "zhihu",
+              F.concat(F.lit('<script id="js-initialData" type="text/json">{"initialState":{"entities":{"answers":{"'),
+                       F.col("note_id"), F.lit('":'),
+                       F.regexp_replace(state, ":undefined", ":null"), F.lit("}}}}</script>")))
+        .when(F.col("platform") == "tieba",
+              F.concat(F.lit('<div id="thread" data-field="'), datafield, F.lit('"><!--comment--></div>')))
+        .otherwise(  # douyin / kuaishou / bilibili: API-JSON page body
+            F.concat(F.lit('<script id="api-json" type="application/json">'),
+                     F.regexp_replace(state, ":undefined", ":null"), F.lit("</script>")))
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>"), F.concat(F.lit("title-"), F.col("note_id")),
+        F.lit("</title><style type=text/css>\n body { color: #333; }\n</style></head><body>"),
+        embed,
+        F.lit('<script src="app.js">\nvar x = "<div>not text</div>";\n</script>'),
+        F.lit('<h1 class="title">'), F.concat(F.lit("title-"), F.col("note_id")), F.lit("</h1>"),
+        F.lit('<span class="author" data-uid="'), F.col("user_id"), F.lit('">'),
+        F.col("nickname"), F.lit("</span>"),
+        F.lit('<span class="liked">'), F.col("liked_count"), F.lit("</span>"),
+        F.lit('<div class="content"> '), F.col("text"), F.lit(" </div>"),
+        F.lit('<div class="stats">comments:'), F.col("n_comments").cast("string"), F.lit("</div>"),
+        F.lit("</body></html>"),
+    )
+    return b.select(
+        _content_url(b).alias("url"),
+        "warc_ts",
+        F.encode(html_str, "UTF-8").alias("html"),
+        "lang",
+        F.lit("content").alias("kind"),
+        "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def _comment_obj(note_id, cid_idx, create_base):
+    """JSON object for one comment; sub_comment_count>0 every 5th comment."""
+    cid = F.concat(note_id, F.lit("c"), cid_idx.cast("string"))
+    sub_n = F.when(F.pmod(cid_idx, F.lit(5)) == 0, F.lit(12)).otherwise(F.lit(0))
+    return F.concat(
+        F.lit('{"id":"'), cid,
+        F.lit('","content":"回复 comment '), cid_idx.cast("string"),
+        F.lit(' on '), note_id,
+        F.lit('","create_time":'), (create_base + cid_idx * 1000).cast("string"),
+        F.lit(',"sub_comment_count":'), sub_n.cast("string"), F.lit("}"),
+    )
+
+
+def build_comment_pages(documents: DataFrame) -> DataFrame:
+    """Cursor-paginated comment pages, 10 comments per page (xhs-shaped)."""
+    b = _base(documents).filter(F.col("n_comments") > 0)
+    n_pages = F.ceil(F.col("n_comments") / 10).cast("int")
+    pages = b.select(
+        "*", F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("cursor_k"), n_pages.alias("n_pages")
+    )
+    start = F.col("cursor_k") * 10
+    count_on_page = F.least(F.lit(10), F.col("n_comments") - start)
+    items = F.transform(
+        F.sequence(start, start + count_on_page - 1),
+        lambda i: _comment_obj(F.col("note_id"), i, F.col("create_ms")),
+    )
+    has_more = (F.col("cursor_k") < F.col("n_pages") - 1)
+    body = F.concat(
+        F.lit('{"has_more":'), has_more.cast("string"),
+        F.lit(',"cursor":"'), (F.col("cursor_k") + 1).cast("string"),
+        F.lit('","comments":['), F.array_join(items, ","), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
+        F.col("note_id"), F.lit("?cursor="), F.col("cursor_k").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        "lang",
+        F.lit("comments").alias("kind"),
+        "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def build_subcomment_pages(documents: DataFrame) -> DataFrame:
+    """Second-level thread pages: 12 subs → 2 cursor pages of ≤10 (J3)."""
+    b = _base(documents).filter(F.col("n_comments") > 0)
+    parents = b.select(
+        "*",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_comments") - 1),
+                lambda i: F.pmod(i, F.lit(5)) == 0,
+            )
+        ).alias("parent_idx"),
+    ).withColumn("parent_id", F.concat(F.col("note_id"), F.lit("c"), F.col("parent_idx").cast("string")))
+    pages = parents.select("*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("cursor_k"))
+    start = F.col("cursor_k") * 10
+    count_on_page = F.least(F.lit(10), F.lit(12) - start)
+    items = F.transform(
+        F.sequence(start, start + count_on_page - 1),
+        lambda i: F.concat(
+            F.lit('{"id":"'), F.col("parent_id"), F.lit("s"), i.cast("string"),
+            F.lit('","content":"sub '), i.cast("string"),
+            F.lit(' of '), F.col("parent_id"),
+            F.lit('","create_time":'), (F.col("create_ms") + i * 100).cast("string"),
+            F.lit(',"sub_comment_count":0}'),
+        ),
+    )
+    body = F.concat(
+        F.lit('{"has_more":'), (F.col("cursor_k") < 1).cast("string"),
+        F.lit(',"cursor":"'), (F.col("cursor_k") + 1).cast("string"),
+        F.lit('","comments":['), F.array_join(items, ","), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
+        F.col("parent_id"), F.lit("?cursor="), F.col("cursor_k").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        "lang",
+        F.lit("subcomments").alias("kind"),
+        "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def build_pages(spark: SparkSession, sf_dir: str, with_text: bool = True) -> DataFrame:
+    """Full pages corpus (input_hint shape + lineage cols), ready to persist.
+
+    ``text`` is produced by the engine's vectorized kernel; tests assert it
+    byte-matches the row-wise CPython oracle.
+    """
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = (
+        build_content_pages(documents)
+        .unionByName(build_comment_pages(documents))
+        .unionByName(build_subcomment_pages(documents))
+    )
+    if with_text:
+        pages = pages.withColumn("text", extract_text_udf(F.col("html")))
+    else:
+        pages = pages.withColumn("text", F.lit(None).cast("string"))
+    return pages.select(
+        "url", "warc_ts", "html", "text", "lang",
+        "kind", "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def build_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed list: every 3rd content URL + a few unknown URLs (miss path)."""
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = _base(documents).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    seeds = b.select(
+        _content_url(b).alias("url"),
+        F.pmod(F.xxhash64(F.lit("prio"), F.col("doc_id")), F.lit(5)).cast("int").alias("priority"),
+        F.concat(F.lit("kw"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias("keyword"),
+    )
+    unknown = spark.range(7).select(
+        F.concat(F.lit("https://unknown.example/x"), F.col("id").cast("string")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(None).cast("string").alias("keyword"),
+    )
+    return seeds.unionByName(unknown)
+
+
+def build_robots(spark: SparkSession) -> DataFrame:
+    """Per-host rules: one denied host per platform, tight budget on hot hosts."""
+    rows = []
+    for p in PLATFORMS:
+        for i in range(4):
+            rows.append(
+                (
+                    f"h{i}.{p}.example",
+                    i != 3,                      # h3.* robots-denied
+                    250 if i == 0 else 50,
+                    40 if i == 0 else 200,       # hot host tighter per-round cap
+                )
+            )
+    rows.append(("unknown.example", True, 50, 200))
+    return spark.createDataFrame(rows, "host string, allow boolean, crawl_delay_ms long, max_per_round int")
