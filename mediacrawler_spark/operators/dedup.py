@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is store-time insert-or-update keyed on note_id
+(store/xhs/xhs_store_impl.py:127-133); a web-scale corpus needs content
+dedup. Shuffle discipline:
+
+- **exact**      — one hash-groupBy on a fingerprint (md5 of normalized
+                   text): a single shuffle on a short key, never on the
+                   full text bytes.
+- **MinHash+LSH** — shingle → k portable min-hashes → bands → *one*
+                   groupBy per band-key join to get candidate pairs →
+                   exact Jaccard verify on candidates only. Pair cost is
+                   O(collisions), never O(n²). Hashes are md5-based so the
+                   DuckDB oracle reproduces them bit-for-bit.
+- **SimHash**    — 64-bit signature via per-token xxhash64 bit votes; an
+                   explode + single groupBy(doc) with 64 conditional sums;
+                   near-dup = signatures equal in all bands (hamming ≤ r
+                   via band equality).
+- **n-gram Jaccard** — exact verify kernel used by the LSH path; also
+                   exposed standalone for candidate pair lists.
+
+At 100 TB the LSH path is the only viable one: everything is
+linear-per-doc + one band-key shuffle; AQE handles band-bucket skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators.textstats import fingerprint_col, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Fingerprint groups with >1 member (duplicate clusters)."""
+    return (
+        documents.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def exact_dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """Keep min-doc_id representative per fingerprint (the dedup sink)."""
+    reps = exact_dedup_groups(documents).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    return documents.join(reps, on="doc_id", how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+def shingles_col(text, n: int = 3):
+    """Word n-gram shingles (distinct), lowercase."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (portable md5 variant — reproducible in the SQL oracle)
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k min-hashes per doc; hash_i(s) = md5(i || '|' || s), min as string.
+
+    String-min over hex md5 is a uniform permutation proxy that any ANSI
+    engine reproduces exactly — chosen for oracle portability. The
+    xxhash64 variant (faster, JVM-native) is in ``simhash_signatures``'s
+    style and used by the crawl engine's seen-set instead.
+    """
+    sh = shingles_col(F.col("text"), shingle_n).alias("sh")
+    base = documents.select("doc_id", sh).filter(F.size("sh") > 0)
+    sig_cols = [
+        F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(str(i)), F.lit("|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return base.select("doc_id", *sig_cols)
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3
+) -> DataFrame:
+    """Docs sharing any LSH band → candidate (a,b) pairs, a<b, distinct."""
+    sigs = minhash_signatures(documents, n_hashes, shingle_n)
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    documents: DataFrame, pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (broadcast-friendly)."""
+    sh = documents.select(
+        "doc_id", shingles_col(F.col("text"), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "doc_a", "doc_b",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
+def minhash_near_dups(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    pairs = lsh_candidate_pairs(documents, n_hashes, band_size, shingle_n)
+    return jaccard_verify(documents, pairs, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (JVM-native xxhash64 bit votes; no SQL oracle — rows-only check)
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: majority vote over token-hash bits.
+
+    explode → one groupBy(doc_id) with 64 conditional-sum aggregates →
+    recombine. All codegen'd; scales as a single shuffle on doc_id.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    # bit b set iff ones > half the tokens
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Hamming-radius candidates via band equality (any identical 16-bit band)."""
+    sigs = simhash_signatures(documents)
+    w = 64 // n_bands
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * w).bitwiseAND(F.lit((1 << w) - 1)).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

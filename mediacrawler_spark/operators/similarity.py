@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk`` — exact cosine top-k against one query vector:
+  the query is a broadcast literal; the scan is one pass, no shuffle until
+  the final top-k (``orderBy … limit`` → Spark's TakeOrdered). Arithmetic
+  is float→double element casts + left-to-right ``F.aggregate`` sums, so
+  the DuckDB oracle (same formula, same order) is bit-identical.
+- ``ivf_topk`` — IVF-style scale path: vectors are bucketed by nearest of
+  C deterministic centroids (built from the corpus itself); the query
+  probes only its own bucket. At 10^10 vectors this prunes the scan by
+  ~C×; bucket assignment is one narrow shuffle at build time and the
+  probe is a partition-pruned scan when the bucket id is a partition key.
+- ``embedding_near_dups`` — cosine near-duplicate pairs via the IVF
+  buckets (pairs within a bucket only), the embedding analog of LSH dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine vs the vector with ``vec_id = query_vec_id``."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def assign_ivf_buckets(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """Bucket each vector by nearest centroid (centroids = the first
+    ``n_centroids`` vectors by vec_id — deterministic, data-derived).
+
+    A production build would k-means these; the plumbing (broadcast
+    centroid table, argmax-cosine assignment, bucket column for partition
+    pruning) is identical and is what matters at scale.
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "centroid_id",
+        cosine_col(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("tb"))).alias("bucket")
+    )
+    return embeddings.join(best, on="vec_id")
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8) -> DataFrame:
+    """Approximate top-k: probe only the query's centroid bucket."""
+    bucketed = assign_ivf_buckets(embeddings, n_centroids)
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    probe = bucketed.crossJoin(F.broadcast(q)).filter(
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != query_vec_id)
+    )
+    return (
+        probe.select(
+            "vec_id", "label",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95, n_centroids: int = 8) -> DataFrame:
+    """Near-dup vector pairs (cosine ≥ threshold) within IVF buckets."""
+    b = assign_ivf_buckets(embeddings, n_centroids).select("vec_id", "embedding", "bucket")
+    l = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    r = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    return (
+        l.join(r, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            cosine_col(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

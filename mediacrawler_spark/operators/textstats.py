@@ -1,0 +1,99 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+All JVM-native column expressions (whole-stage-codegen friendly, no Python):
+language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex piece count), document fingerprinting. Each has
+an exact ANSI-SQL oracle twin in ``__spark_entry__.oracle_sql``.
+
+The reference's only text analytics is jieba word-frequency + wordcloud
+(tools/words.py:29-83); these generalize that to the feature set a
+100 TB-corpus curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed English stopword list — deterministic, mirrored in the SQL oracle.
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empty-safe."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_piece_count_col(text: Column) -> Column:
+    """BPE-ish piece estimate: word-chars in runs of ≤4 + punctuation marks.
+
+    ceil(len(word)/4) per word plus one per non-space symbol — a cheap,
+    deterministic proxy for subword token counts.
+    """
+    words = tokens_col(text)
+    word_pieces = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return (word_pieces + punct).alias("bpe_pieces")
+
+
+def stopword_hits_col(text: Column) -> Column:
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def lang_id_col(text: Column, threshold: float = 0.08) -> Column:
+    """n-gram-free language heuristic: EN stopword density ≥ threshold → en."""
+    n = token_count_col(text)
+    hits = stopword_hits_col(text)
+    ratio = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + stopword density + word shape.
+
+    Deterministic arithmetic only, mirrored exactly in the SQL oracle:
+      0.4·min(len/200,1) + 0.4·min(stop_ratio/0.1,1) + 0.2·(mean token len in [3,8])
+    """
+    n_chars = F.length(text).cast("double")
+    n_tok = token_count_col(text).cast("double")
+    stop_ratio = F.when(n_tok > 0, stopword_hits_col(text).cast("double") / n_tok).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * F.least(n_chars / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.4) * F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+        + F.lit(0.2) * F.when((mean_tok >= 3.0) & (mean_tok <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text (portable: md5 is identical in Spark and the DuckDB oracle)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def document_profile(documents: DataFrame) -> DataFrame:
+    """One-pass profile over the documents table — the headline text op."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        token_count_col(t).cast("long").alias("n_tokens"),
+        bpe_piece_count_col(t).cast("long").alias("bpe_pieces"),
+        stopword_hits_col(t).cast("long").alias("stop_hits"),
+        lang_id_col(t).alias("lang_pred"),
+        F.round(quality_score_col(t), 6).alias("quality"),
+        fingerprint_col(t).alias("fingerprint"),
+    )

@@ -1,0 +1,585 @@
+"""Query registry: every implemented operator as a (Spark, oracle-SQL) pair.
+
+Consumed by ``__spark_entry__``: ``queries()[name]`` runs the DataFrame
+program, ``oracle_sql()[name]`` is the ANSI-SQL twin DuckDB executes on the
+same parquet (tables pre-registered as views). Column names and types are
+aligned pair-by-pair (the driver hash-compares values under sorted column
+names). Oracle-less entries (hash functions DuckDB lacks, or inputs that
+are not driver tables) get the driver's rows-only check.
+
+Each entry cites the SURVEY §2 operator(s) it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mediacrawler_spark.operators import dedup, similarity, textstats, wordfreq
+from mediacrawler_spark.operators.multimodal import binary_features
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational battery (reference operator parity)
+
+def q_agg_pricing(spark, sf):  # A1/A7 — budget/counter aggregates
+    li = _t(spark, sf, "lineitem")
+    # FP discipline for oracle equivalence: per-row products are computed in
+    # double (bit-identical on both engines), then cast to decimal so the
+    # *sum* is exact and order-independent; the final cast back to double is
+    # deterministic. Same pattern in the SQL twin.
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_discount").cast("decimal(27,6)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_window_budget(spark, sf):  # W1/O4 — first-k per key in cursor order
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "user_id", "ts", "rn")
+    )
+
+
+SQL_WINDOW_BUDGET = """
+SELECT event_id, user_id, ts, rn FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+
+def q_day_cap(spark, sf):  # W2 — per-day cap per key (bilibili MAX_NOTES_PER_DAY)
+    o = _t(spark, sf, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    w = Window.partitionBy("o_custkey", day).orderBy(F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_orderkey", "o_custkey", day, "rn")
+    )
+
+
+SQL_DAY_CAP = """
+SELECT o_orderkey, o_custkey, day, rn FROM (
+  SELECT o_orderkey, o_custkey, date_trunc('day', o_orderdate) AS day,
+         row_number() OVER (PARTITION BY o_custkey, date_trunc('day', o_orderdate)
+                            ORDER BY o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def q_host_quota(spark, sf):  # W3/O6 — per-host politeness quota + priority
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "source", "n_chars", "rn")
+    )
+
+
+SQL_HOST_QUOTA = """
+SELECT doc_id, source, n_chars, rn FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
+def q_anti_join_seen(spark, sf):  # J7/U4 — URL-seen anti-membership
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                  on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN_SEEN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_broadcast_join(spark, sf):  # J6 — broadcast hash join on small dim
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"),
+             F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("revenue"))
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_cross_seed(spark, sf):  # J8 — keyword × page-range frontier seeding
+    r = _t(spark, sf, "region")
+    return r.select(
+        F.col("r_name").alias("keyword"),
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(5).cast("long"))).alias("page"),
+    )
+
+
+SQL_CROSS_SEED = """
+SELECT r_name AS keyword, gs AS page
+FROM region CROSS JOIN generate_series(1, 5) AS t(gs)
+"""
+
+
+def q_time_range(spark, sf):  # S4/J9 — pubtime-range partition-pruned scan
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total"))
+    )
+
+
+SQL_TIME_RANGE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_detail_fanout(spark, sf):  # J1/S8 — detail fetch-join
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+    )
+
+
+SQL_DETAIL_FANOUT = """
+SELECT o_orderkey, c_name, o_totalprice, o_orderdate
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def q_filter_project(spark, sf):  # P2–P5/P9 — predicates + projection
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        (F.col("event_type").isin("click", "view")) & (F.col("value") >= 50.0)
+    ).select("event_id", "event_type", "value")
+
+
+SQL_FILTER_PROJECT = """
+SELECT event_id, event_type, value
+FROM events WHERE event_type IN ('click', 'view') AND value >= 50.0
+"""
+
+
+def q_coalesce_fallback(spark, sf):  # P6–P8/S9 — fallback chains
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.col("p_brand")).alias("resolved"),
+    )
+
+
+SQL_COALESCE_FALLBACK = """
+SELECT p_partkey, coalesce(nullif(p_type, 'ECONOMY'), p_brand) AS resolved FROM part
+"""
+
+
+def q_union_concat(spark, sf):  # U1–U3 — result concatenation
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id")
+    b = ev.filter(F.col("value") > 99.0).select("event_id", "user_id")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_CONCAT = """
+SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT event_id, user_id FROM events WHERE value > 99.0
+"""
+
+
+def q_pivot_interactions(spark, sf):  # A5 — interaction pivot
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+SQL_PIVOT_INTERACTIONS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS "click",
+       count(*) FILTER (WHERE event_type = 'error') AS "error",
+       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+       count(*) FILTER (WHERE event_type = 'view') AS "view"
+FROM events GROUP BY user_id
+"""
+
+
+def q_count_parse(spark, sf):  # E7 — count-string → int
+    p = _t(spark, sf, "part")
+    n = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("p_brand"), r"(\d+)", 1), F.lit("")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return p.select("p_partkey", n.alias("brand_num"))
+
+
+SQL_COUNT_PARSE = r"""
+SELECT p_partkey,
+       coalesce(CAST(nullif(regexp_extract(p_brand, '(\d+)', 1), '') AS BIGINT), 0) AS brand_num
+FROM part
+"""
+
+
+def q_json_extract(spark, sf):  # E3/E15 — JSON field access
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_time_functions(spark, sf):  # E8 — epoch/trunc round-trips
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.unix_timestamp(F.col("ts")).alias("epoch_s"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.min("epoch_s").alias("first_epoch"))
+    )
+
+
+SQL_TIME_FUNCTIONS = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n, min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_epoch
+FROM events GROUP BY day
+"""
+
+
+def q_label_map(spark, sf):  # E13 — when/otherwise label mapping
+    c = _t(spark, sf, "customer")
+    seg = F.col("c_mktsegment")
+    label = (
+        F.when(seg == "BUILDING", F.lit("建筑"))
+        .when(seg == "AUTOMOBILE", F.lit("汽车"))
+        .when(seg == "MACHINERY", F.lit("机械"))
+        .otherwise(F.lit("其他"))
+    )
+    return c.groupBy(label.alias("label")).agg(F.count("*").alias("n"))
+
+
+SQL_LABEL_MAP = """
+SELECT CASE c_mktsegment WHEN 'BUILDING' THEN '建筑' WHEN 'AUTOMOBILE' THEN '汽车'
+            WHEN 'MACHINERY' THEN '机械' ELSE '其他' END AS label,
+       count(*) AS n
+FROM customer GROUP BY 1
+"""
+
+
+def q_crawl_order(spark, sf):  # W4/O1/O3 — deterministic global crawl order + budget
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+SQL_CRAWL_ORDER = """
+SELECT o_orderkey, o_orderdate FROM orders
+ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_seen_except(spark, sf):  # U4 — set difference
+    ev = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    return ev.select(F.col("user_id").alias("uid")).distinct().exceptAll(
+        c.select(F.col("c_custkey").alias("uid")).distinct()
+    )
+
+
+SQL_SEEN_EXCEPT = """
+SELECT DISTINCT user_id AS uid FROM events
+EXCEPT
+SELECT DISTINCT c_custkey AS uid FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline battery
+
+_SQL_WORDS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w != '')"
+_SQL_STOP = "('the','a','of','and','to','in','is','on','for','with')"
+
+
+def q_text_profile(spark, sf):  # textstats — lang-ID, quality, tokens, fingerprint
+    return textstats.document_profile(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS words,
+         length(text) AS n_chars_actual
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, n_chars_actual,
+         len(words) AS n_tokens,
+         coalesce(list_sum(list_transform(words, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+           + length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS bpe_pieces,
+         len(list_filter(words, w -> w IN {_SQL_STOP})) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bpe_pieces AS BIGINT) AS bpe_pieces,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CASE WHEN n_tokens > 0 AND stop_hits::DOUBLE / n_tokens >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred,
+       round(
+         0.4 * least(n_chars_actual / 200.0, 1.0)
+         + 0.4 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) / 0.1, 1.0)
+         + 0.2 * (CASE WHEN n_tokens > 0 AND n_chars_actual::DOUBLE / n_tokens BETWEEN 3.0 AND 8.0
+                       THEN 1.0 ELSE 0.0 END), 6) AS quality,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM feat
+"""
+
+
+def q_topk_words(spark, sf):  # A2/A3/O5 — word frequency top-k
+    return wordfreq.top_k_words(_t(spark, sf, "documents"), k=20)
+
+
+SQL_TOPK_WORDS = f"""
+SELECT word, count(*) AS freq
+FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+"""
+
+
+def q_exact_dedup(spark, sf):  # dedup exact — hash groupBy
+    return dedup.exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+_SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len(words) >= 3 THEN "
+    "list_transform(range(1, len(words) - 1), i -> "
+    "concat(words[i], ' ', words[i+1], ' ', words[i+2])) "
+    "ELSE [] END)"
+)
+
+
+def q_minhash_sigs(spark, sf):  # dedup MinHash — portable md5 min-hash signatures
+    return dedup.minhash_signatures(_t(spark, sf, "documents"), n_hashes=8)
+
+
+SQL_MINHASH_SIGS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+)
+SELECT doc_id,
+       {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS mh{i}" for i in range(8))}
+FROM sh WHERE len(shingles) > 0
+"""
+
+
+def q_jaccard_pairs(spark, sf):  # dedup n-gram Jaccard — exact verify kernel
+    docs = _t(spark, sf, "documents")
+    small = docs.filter(F.col("doc_id") < 25)
+    pairs = (
+        small.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(small.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return dedup.jaccard_verify(docs, pairs)
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.replace("words", _SQL_WORDS)} AS s FROM documents WHERE doc_id < 25
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+             THEN len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))
+             ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+def q_ann_bruteforce(spark, sf):  # similarity — exact cosine top-k
+    e = _t(spark, sf, "embeddings")
+    res = similarity.brute_force_topk(e, query_vec_id=0, k=10)
+    return res.select("vec_id", "label", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS cosine
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ivf_buckets(spark, sf):  # similarity — IVF bucket assignment (scale path)
+    e = _t(spark, sf, "embeddings")
+    return similarity.assign_ivf_buckets(e, n_centroids=8).select("vec_id", "bucket")
+
+
+SQL_IVF_BUCKETS = """
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, centroid_id AS bucket FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Oracle-less entries (engine-specific inputs or non-portable hashes):
+# driver records the weaker rows-only check.
+
+def q_simhash(spark, sf):  # dedup SimHash — xxhash64 not reproducible in DuckDB
+    return dedup.simhash_signatures(_t(spark, sf, "documents"))
+
+
+def q_lsh_pairs(spark, sf):  # dedup MinHash-LSH candidate pairs
+    return dedup.lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+
+def q_minhash_near_dups(spark, sf):  # full LSH near-dup pipeline
+    return dedup.minhash_near_dups(_t(spark, sf, "documents"), threshold=0.8)
+
+
+def q_multimodal_features(spark, sf):  # multimodal binary plumbing (synth pages input)
+    from mediacrawler_spark.synth import build_content_pages
+    docs = _t(spark, sf, "documents")
+    pages = build_content_pages(docs).limit(200)
+    return binary_features(pages, "html")
+
+
+def q_extract_kernel(spark, sf):  # E1 — byte-identical text kernel over synth pages
+    from mediacrawler_spark.functions.text import extract_text_udf
+    from mediacrawler_spark.synth import build_content_pages
+    docs = _t(spark, sf, "documents")
+    pages = build_content_pages(docs)
+    return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def q_crawl_slice(spark, sf):  # §3.2 minimum slice — 2-round detail crawl
+    from mediacrawler_spark import synth
+    from mediacrawler_spark.plans.crawl import CrawlEngine
+    pages = synth.build_pages(spark, sf)
+    eng = CrawlEngine(spark, pages, synth.build_robots(spark), use_bloom=False)
+    res = eng.run(synth.build_seeds(spark, sf), max_rounds=2)
+    return res.content
+
+
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "window_budget": (q_window_budget, SQL_WINDOW_BUDGET),
+    "day_cap": (q_day_cap, SQL_DAY_CAP),
+    "host_quota": (q_host_quota, SQL_HOST_QUOTA),
+    "anti_join_seen": (q_anti_join_seen, SQL_ANTI_JOIN_SEEN),
+    "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "cross_seed": (q_cross_seed, SQL_CROSS_SEED),
+    "time_range": (q_time_range, SQL_TIME_RANGE),
+    "detail_fanout": (q_detail_fanout, SQL_DETAIL_FANOUT),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "coalesce_fallback": (q_coalesce_fallback, SQL_COALESCE_FALLBACK),
+    "union_concat": (q_union_concat, SQL_UNION_CONCAT),
+    "pivot_interactions": (q_pivot_interactions, SQL_PIVOT_INTERACTIONS),
+    "count_parse": (q_count_parse, SQL_COUNT_PARSE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "time_functions": (q_time_functions, SQL_TIME_FUNCTIONS),
+    "label_map": (q_label_map, SQL_LABEL_MAP),
+    "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
+    "seen_except": (q_seen_except, SQL_SEEN_EXCEPT),
+    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    "topk_words": (q_topk_words, SQL_TOPK_WORDS),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_sigs": (q_minhash_sigs, SQL_MINHASH_SIGS),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
+    "ivf_buckets": (q_ivf_buckets, SQL_IVF_BUCKETS),
+    # rows-only (no portable oracle):
+    "simhash_sigs": (q_simhash, None),
+    "lsh_candidate_pairs": (q_lsh_pairs, None),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "multimodal_features": (q_multimodal_features, None),
+    "extract_kernel": (q_extract_kernel, None),
+    "crawl_slice": (q_crawl_slice, None),
+}
