@@ -77,7 +77,7 @@ def _state_json_col(html_str: Column, platform: Column) -> Column:
     tieba = F.regexp_extract(html_str, r'data-field="([^"]*)"', 1)
     return (
         F.when(platform == "xhs", F.regexp_replace(xhs, ":undefined", ":null"))
-        .when(platform == "weibo", weibo)
+        .when(platform == "weibo", F.regexp_replace(weibo, ":undefined", ":null"))
         .when(platform == "zhihu", zhihu)
         .when(platform == "tieba", _html_unescape(tieba))
         .otherwise(api)

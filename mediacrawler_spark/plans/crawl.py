@@ -76,6 +76,7 @@ class CrawlEngine:
         enable_sub_comments: bool = True,  # reference ENABLE_GET_SUB_COMMENTS (base_config.py:90)
         max_comments_per_note: int | None = None,  # CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES analog
         use_bloom: bool = True,
+        bloom_min_seen: int = 20_000,
         n_salts: int = 8,
         global_limit: int | None = None,
     ):
@@ -87,6 +88,12 @@ class CrawlEngine:
         self.enable_sub_comments = enable_sub_comments
         self.max_comments_per_note = max_comments_per_note
         self.use_bloom = use_bloom
+        # Bloom costs ~3 jobs/round to (re)build; below this seen-count the
+        # exact anti-join is strictly cheaper. At 10^10 URLs the filter is
+        # maintained incrementally instead of rebuilt (per-shard OR of the
+        # round's delta) — the rebuild here is the sandbox stand-in.
+        self.bloom_min_seen = bloom_min_seen
+        self._seen_count = 0
         self.n_salts = n_salts
         self.global_limit = global_limit
 
@@ -121,9 +128,15 @@ class CrawlEngine:
         scheduled, denied = sched.select_round(
             frontier, self.robots, round_id, self.n_salts, self.global_limit
         )
+        # The round's two expensive intermediates — the politeness-window
+        # selection and the fetch-join — feed several outputs (content,
+        # comments, seen, frontier, metrics); cache them for the round so
+        # each is computed once (unpersisted by run() after checkpointing).
+        scheduled = scheduled.persist()
         # Fetch-join: scheduled batch is bounded by per-host budgets →
         # broadcast it against the big pages table (J1).
-        fetched = self.pages.join(F.broadcast(scheduled), on="url", how="inner")
+        fetched = self.pages.join(F.broadcast(scheduled), on="url", how="inner").persist()
+        self._round_cache = [scheduled, fetched]
         misses = scheduled.join(fetched.select("url"), on="url", how="left_anti")
 
         kind = X.classify_url_col(F.col("url"))
@@ -230,8 +243,11 @@ class CrawlEngine:
             .dropDuplicates(["url"])
         )
         active_urls = frontier.select("url")
-        unseen_fn = seen_ops.unseen_bloom_prefiltered if self.use_bloom else seen_ops.unseen_exact
-        new_urls = unseen_fn(discovered, seen).join(active_urls, on="url", how="left_anti")
+        if self.use_bloom and self._seen_count >= self.bloom_min_seen:
+            new_urls = seen_ops.unseen_bloom_prefiltered(discovered, seen)
+        else:
+            new_urls = seen_ops.unseen_exact(discovered, seen)
+        new_urls = new_urls.join(active_urls, on="url", how="left_anti")
         new_frontier_rows = new_urls.select(
             "url", "host",
             F.col("priority").cast("int"),
@@ -320,17 +336,35 @@ class CrawlEngine:
         r = start_round
         for r in range(start_round, max_rounds):
             content, comments, seen, frontier, metrics, denied = self._round(frontier, seen, r)
-            # materialize round outputs (checkpoint + lineage truncation)
-            content = self._materialize(content, r, "content_delta")
-            comments = self._materialize(comments, r, "comments_delta")
+            denied = denied.select(*_FRONTIER_COLS)
+            # Materialize the iterated state every round (checkpoint +
+            # lineage truncation). Round *deltas* only need materializing
+            # when a checkpoint dir is set (resume durability): in-memory
+            # mode leaves them lazy — their parents (frontier/seen) are
+            # already checkpointed, so the plans stay shallow and each
+            # round saves four table writes.
             seen = self._materialize(seen, r, "seen")
             frontier = self._materialize(frontier, r, "frontier")
-            metrics = self._materialize(metrics, r, "metrics_delta")
-            denied = self._materialize(denied.select(*_FRONTIER_COLS), r, "denied_delta")
+            if self.ckpt:
+                content = self._materialize(content, r, "content_delta")
+                comments = self._materialize(comments, r, "comments_delta")
+                metrics = self._materialize(metrics, r, "metrics_delta")
+                denied = self._materialize(denied, r, "denied_delta")
+            if not self.ckpt:
+                # lazy deltas reference the round cache — snapshot them
+                # before unpersisting
+                content = content.localCheckpoint(eager=True)
+                comments = comments.localCheckpoint(eager=True)
+                metrics = metrics.localCheckpoint(eager=True)
+                denied = denied.localCheckpoint(eager=True)
             all_content.append(content)
             all_comments.append(comments)
             all_metrics.append(metrics)
             all_denied.append(denied)
+            for df in getattr(self, "_round_cache", []):
+                df.unpersist()
+            if self.use_bloom:
+                self._seen_count = seen.count()
             if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
                 break
 

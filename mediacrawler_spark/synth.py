@@ -253,13 +253,19 @@ def build_subcomment_pages(documents: DataFrame) -> DataFrame:
     )
 
 
-def build_pages(spark: SparkSession, sf_dir: str, with_text: bool = True) -> DataFrame:
+def build_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    with_text: bool = True,
+    documents: DataFrame | None = None,
+) -> DataFrame:
     """Full pages corpus (input_hint shape + lineage cols), ready to persist.
 
     ``text`` is produced by the engine's vectorized kernel; tests assert it
     byte-matches the row-wise CPython oracle.
     """
-    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if documents is None:
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = (
         build_content_pages(documents)
         .unionByName(build_comment_pages(documents))
@@ -275,9 +281,12 @@ def build_pages(spark: SparkSession, sf_dir: str, with_text: bool = True) -> Dat
     )
 
 
-def build_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_seeds(
+    spark: SparkSession, sf_dir: str, documents: DataFrame | None = None
+) -> DataFrame:
     """Seed list: every 3rd content URL + a few unknown URLs (miss path)."""
-    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if documents is None:
+        documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     b = _base(documents).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
     seeds = b.select(
         _content_url(b).alias("url"),

@@ -1,0 +1,87 @@
+"""North-rule check: engine ≡ sequential reference-semantics simulator.
+
+Same seeds + robots budgets ⇒ equal URL-seen set, equal content/comment
+sets including the deterministic crawl-ordering keys (W4), equal denied
+set. Also: resume-after-kill produces the identical seen set.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mediacrawler_spark import synth
+from mediacrawler_spark.plans.crawl import CrawlEngine
+from tests.reference_sim import simulate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, documents):
+    docs = documents.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 40))
+    pages = synth.build_pages(spark, None, documents=docs).cache()
+    pages.count()
+    seeds = synth.build_seeds(spark, None, documents=docs)
+    robots = synth.build_robots(spark)
+    return pages, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, corpus):
+    pages, seeds, robots = corpus
+    eng = CrawlEngine(spark, pages, robots, use_bloom=True)
+    return eng.run(seeds, max_rounds=25)
+
+
+@pytest.fixture(scope="module")
+def sim_result(spark, corpus):
+    pages, seeds, robots = corpus
+    return simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=25,
+    )
+
+
+def test_seen_set_equal(engine_result, sim_result):
+    got = {r["url"] for r in engine_result.seen.collect()}
+    assert got == sim_result.seen
+
+
+def test_denied_set_equal(engine_result, sim_result):
+    got = {r["url"] for r in engine_result.denied.collect()}
+    assert got == sim_result.denied
+
+
+def test_content_with_ordering_keys_equal(engine_result, sim_result):
+    got = {
+        (r["note_id"], r["ord_keyword"], r["ord_page"], r["ord_item_idx"], r["ord_cursor_seq"])
+        for r in engine_result.content.collect()
+    }
+    assert got == sim_result.content
+
+
+def test_comments_with_ordering_keys_equal(engine_result, sim_result):
+    got = {
+        (r["comment_id"], r["note_id"], r["parent_comment_id"], r["ord_cursor_seq"], r["ord_item_idx"])
+        for r in engine_result.comments.collect()
+    }
+    assert got == sim_result.comments
+
+
+def test_politeness_budget_never_exceeded(engine_result, spark, corpus):
+    _, _, robots = corpus
+    budgets = {r["host"]: r["max_per_round"] for r in robots.collect()}
+    for r in engine_result.metrics.collect():
+        cap = budgets.get(r["host"], 200)
+        assert r["scheduled"] <= cap, f"{r['host']} round {r['round_id']}: {r['scheduled']} > {cap}"
+
+
+def test_resume_equals_uninterrupted(spark, corpus, engine_result, tmp_path):
+    pages, seeds, robots = corpus
+    ck = str(tmp_path / "ckpt")
+    eng1 = CrawlEngine(spark, pages, robots, checkpoint_dir=ck, use_bloom=False)
+    eng1.run(seeds, max_rounds=4)  # simulated kill after round 4
+    eng2 = CrawlEngine(spark, pages, robots, checkpoint_dir=ck, use_bloom=False)
+    resumed = eng2.run(seeds, max_rounds=25, resume=True)
+    a = {r["url"] for r in resumed.seen.collect()}
+    b = {r["url"] for r in engine_result.seen.collect()}
+    assert a == b

@@ -1,0 +1,86 @@
+"""Sanity + semantics tests for the training-data operators."""
+
+from pyspark.sql import functions as F
+
+from mediacrawler_spark.operators import dedup, multimodal, similarity
+from mediacrawler_spark.operators.textstats import document_profile
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, documents):
+    # plant exact dups: re-append 10 docs under new ids
+    dups = documents.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    d = documents.unionByName(dups)
+    groups = dedup.exact_dedup_groups(d).filter(F.col("n_dups") > 1)
+    assert groups.count() == 10
+    kept = dedup.exact_dedup_keep_first(d)
+    assert kept.count() == documents.count()
+    # canonical representative is the min doc_id (the original)
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, documents):
+    # plant near-dups: copy of the text with one word appended
+    near = documents.filter((F.col("doc_id") < 10) & (F.col("n_chars") > 200)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    n_planted = near.count()
+    assert n_planted > 0
+    d = documents.select("doc_id", "text").unionByName(near)
+    found = dedup.minhash_near_dups(d, threshold=0.8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in found.collect()}
+    for r in near.collect():
+        orig = r["doc_id"] - 200000
+        assert (orig, r["doc_id"]) in pairs, f"missed planted near-dup {orig}"
+
+
+def test_simhash_near_identical_docs_collide(spark, documents):
+    near = documents.filter((F.col("doc_id") < 5) & (F.col("n_chars") > 200)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    d = documents.select("doc_id", "text").unionByName(near)
+    cand = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_near_dups(d).collect()}
+    for r in near.collect():
+        assert (r["doc_id"] - 300000, r["doc_id"]) in cand
+
+
+def test_brute_force_topk_self_excluded_and_sorted(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top = similarity.brute_force_topk(e, query_vec_id=3, k=5).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] != 3 for r in top)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF probe must return vectors from the query's bucket with exact
+    cosines; recall vs brute force is imperfect by design but > 0."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = {r["vec_id"] for r in similarity.brute_force_topk(e, 3, 10).collect()}
+    ivf = {r["vec_id"] for r in similarity.ivf_topk(e, 3, 10).collect()}
+    assert len(ivf) > 0
+    assert len(bf & ivf) > 0
+
+
+def test_multimodal_features_deterministic(spark, documents):
+    from mediacrawler_spark.synth import build_content_pages
+
+    pages = build_content_pages(documents.limit(30))
+    a = multimodal.binary_features(pages).orderBy("url").collect()
+    b = multimodal.binary_features(pages).orderBy("url").collect()
+    assert a == b
+    for r in a:
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        assert 0.0 < r["byte_entropy"] <= 8.0
+        assert 64 <= r["fake_width"] < 256
+
+
+def test_document_profile_langs(spark, documents):
+    prof = document_profile(documents)
+    langs = {r["lang_pred"] for r in prof.select("lang_pred").distinct().collect()}
+    assert langs <= {"en", "unk"}
+    assert prof.filter(F.col("n_tokens") <= 0).count() == 0
