@@ -1,0 +1,125 @@
+"""Headline benchmark: operator suite + crawl frontier throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ..., ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Query results are forced with the noop sink (full computation, no driver
+collect). The crawl bench runs the frontier engine over the synthetic
+pages corpus derived from the sf documents table and reports the
+north-rule metric: URLs scheduled+deduped+fetched per second. Scaling
+evidence (local[8] vs local[32]) is produced by tools/scaling_bench.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_pricing",
+    "broadcast_join",
+    "window_budget",
+    "day_cap",
+    "detail_fanout",
+    "pivot_interactions",
+    "topk_words",
+    "text_profile",
+    "exact_dedup",
+    "minhash_near_dups",
+    "simhash_sigs",
+    "ann_bruteforce",
+    "ivf_buckets",
+    "extract_kernel",
+    "multimodal_features",
+]
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_crawl_bench(spark, sf_dir: str, max_rounds: int = 8):
+    from pyspark.sql import functions as F
+
+    from mediacrawler_spark import synth
+    from mediacrawler_spark.plans.crawl import CrawlEngine
+
+    pages = synth.build_pages(spark, sf_dir).persist()
+    n_pages = pages.count()
+    seeds = synth.build_seeds(spark, sf_dir)
+    robots = synth.build_robots(spark).withColumn(
+        # open the per-round throttle for the throughput benchmark: politeness
+        # stays per-host-windowed but with a budget matched to corpus size
+        "max_per_round", F.lit(100_000),
+    )
+    t0 = time.time()
+    eng = CrawlEngine(spark, pages, robots, use_bloom=True, bloom_min_seen=5000)
+    res = eng.run(seeds, max_rounds=max_rounds)
+    urls_seen = res.seen.count()
+    n_content = res.content.count()
+    n_comments = res.comments.count()
+    wall = time.time() - t0
+    pages.unpersist()
+    return {
+        "crawl_sec": round(wall, 2),
+        "rounds": res.rounds,
+        "pages_corpus": n_pages,
+        "urls_seen": urls_seen,
+        "content_rows": n_content,
+        "comment_rows": n_comments,
+        "urls_per_sec": round(urls_seen / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from mediacrawler_spark.queries import REGISTRY
+    from mediacrawler_spark.session import build_session
+
+    spark = build_session(
+        app_name="mediacrawler-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        dt = time.time() - t0
+        per[name] = round(dt, 3)
+        total += dt
+
+    crawl = run_crawl_bench(spark, sf_dir)
+    per["crawl_frontier"] = crawl["crawl_sec"]
+    total += crawl["crawl_sec"]
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline suite wall (operators + frontier crawl); urls_per_sec is the north-rule frontier throughput",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": per,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **{k: v for k, v in crawl.items() if k != "crawl_sec"},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

