@@ -69,6 +69,15 @@ class ShardedBloom:
         self.k = k
         self.n_shards = n_shards
 
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        """OR-in another filter with identical (m, k, n_shards) — the
+        per-round delta merge: round r's filter = filter(r-1) | build(delta_r)."""
+        assert (self.m, self.k, self.n_shards) == (other.m, other.k, other.n_shards)
+        merged = {
+            s: self.bitmaps[s] | other.bitmaps[s] for s in range(self.n_shards)
+        }
+        return ShardedBloom(merged, self.m, self.k, self.n_shards)
+
     @classmethod
     def build(cls, seen: DataFrame, key: str = "url", n_shards: int = 8, fpp: float = 0.03,
               expected_per_shard: int | None = None) -> "ShardedBloom":

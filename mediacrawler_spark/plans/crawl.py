@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,7 @@ class CrawlEngine:
         max_comments_per_note: int | None = None,  # CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES analog
         use_bloom: bool = True,
         bloom_min_seen: int = 20_000,
+        bloom_capacity_per_shard: int = 500_000,
         n_salts: int = 8,
         global_limit: int | None = None,
     ):
@@ -88,11 +90,14 @@ class CrawlEngine:
         self.enable_sub_comments = enable_sub_comments
         self.max_comments_per_note = max_comments_per_note
         self.use_bloom = use_bloom
-        # Bloom costs ~3 jobs/round to (re)build; below this seen-count the
-        # exact anti-join is strictly cheaper. At 10^10 URLs the filter is
-        # maintained incrementally instead of rebuilt (per-shard OR of the
-        # round's delta) — the rebuild here is the sandbox stand-in.
+        # The Bloom prefilter is maintained *incrementally* (north_rule):
+        # round r's filter = filter(r-1) OR build(delta_r) — never rebuilt
+        # from the full seen table. It activates once the seen set is big
+        # enough that the prefilter beats a plain anti-join; capacity is
+        # fixed up front so per-round delta filters merge bit-compatibly.
         self.bloom_min_seen = bloom_min_seen
+        self.bloom_capacity_per_shard = bloom_capacity_per_shard
+        self._bloom: seen_ops.ShardedBloom | None = None
         self._seen_count = 0
         self.n_salts = n_salts
         self.global_limit = global_limit
@@ -243,8 +248,8 @@ class CrawlEngine:
             .dropDuplicates(["url"])
         )
         active_urls = frontier.select("url")
-        if self.use_bloom and self._seen_count >= self.bloom_min_seen:
-            new_urls = seen_ops.unseen_bloom_prefiltered(discovered, seen)
+        if self._bloom is not None:
+            new_urls = seen_ops.unseen_bloom_prefiltered(discovered, seen, bloom=self._bloom)
         else:
             new_urls = seen_ops.unseen_exact(discovered, seen)
         new_urls = new_urls.join(active_urls, on="url", how="left_anti")
@@ -286,92 +291,159 @@ class CrawlEngine:
             .unionByName(new_frontier_rows)
         )
 
-        fetched_urls = fetched.select("url")
-        new_seen = seen.unionByName(
-            fetched_urls.withColumn("round_id", F.lit(round_id)).select("url", "round_id")
-        )
+        # seen delta (append-only log): only this round's fetched URLs —
+        # the full seen table is never rewritten
+        seen_delta = fetched.select("url").withColumn("round_id", F.lit(round_id))
 
         # --- per-host round metrics (north_rule lineage counters) ---
-        def _per_host(df: DataFrame, name: str) -> DataFrame:
-            return df.groupBy("host").agg(F.count("*").alias(name))
-
-        metrics = (
-            _per_host(scheduled, "scheduled")
-            .join(_per_host(fetched, "fetched"), "host", "full")
-            .join(_per_host(content_pages, "parsed"), "host", "full")
-            .join(_per_host(misses, "failed"), "host", "full")
-            .select(
-                F.lit(round_id).alias("round_id"),
+        # one tagged union + one aggregation (scheduled = fetched ∪ misses)
+        tagged = fetched.select(
+            "host",
+            F.lit(1).cast("long").alias("_f"),
+            (F.col("kind") == "content").cast("long").alias("_p"),
+            F.lit(0).cast("long").alias("_m"),
+        ).unionByName(
+            misses.select(
                 "host",
-                F.coalesce("scheduled", F.lit(0)).alias("scheduled"),
-                F.coalesce("fetched", F.lit(0)).alias("fetched"),
-                F.coalesce("parsed", F.lit(0)).alias("parsed"),
-                F.coalesce("failed", F.lit(0)).alias("failed"),
-                F.lit(0).cast("long").alias("deduped"),
+                F.lit(0).cast("long").alias("_f"),
+                F.lit(0).cast("long").alias("_p"),
+                F.lit(1).cast("long").alias("_m"),
             )
         )
-        return content, comments, new_seen, new_frontier, metrics, denied
+        metrics = tagged.groupBy("host").agg(
+            F.count("*").alias("scheduled"),
+            F.sum("_f").alias("fetched"),
+            F.sum("_p").alias("parsed"),
+            F.sum("_m").alias("failed"),
+        ).select(
+            F.lit(round_id).alias("round_id"),
+            "host", "scheduled", "fetched", "parsed", "failed",
+            F.lit(0).cast("long").alias("deduped"),
+        )
+        return content, comments, seen_delta, new_frontier, metrics, denied
+
+    # -- seen log (append-only) ---------------------------------------------
+    def _read_seen(self, upto_round: int) -> DataFrame:
+        """Seen set visible to round ``upto_round``: rounds < upto_round.
+
+        The round_id filter both defines round visibility and makes resume
+        crash-safe: a partially-written delta from a crashed round is
+        superseded when that round re-runs (duplicate url rows are harmless
+        for anti-join semantics; the result view dedups).
+        """
+        if not any(f.endswith(".parquet") for f in os.listdir(self._seen_dir)):
+            return self.spark.createDataFrame([], "url string, round_id int")
+        return self.spark.read.parquet(self._seen_dir).filter(
+            F.col("round_id") < F.lit(upto_round)
+        )
 
     # -- the driver loop ----------------------------------------------------
     def run(self, seeds: DataFrame, max_rounds: int = 50, resume: bool = False) -> CrawlResult:
         spark = self.spark
         empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
         start_round = 0
+        all_content, all_comments, all_metrics, all_denied = [], [], [], []
+
+        if self.ckpt:
+            self._seen_dir = os.path.join(self.ckpt, "seen")
+        else:
+            import tempfile
+
+            self._seen_dir = tempfile.mkdtemp(prefix="crawl_seen_")
         if resume and self.ckpt and os.path.isdir(self.ckpt):
-            done = sorted(d for d in os.listdir(self.ckpt) if d.startswith("round="))
+            # a round is complete iff its frontier dir exists (written last)
+            done = sorted(
+                d for d in os.listdir(self.ckpt)
+                if d.startswith("round=") and os.path.isdir(os.path.join(self.ckpt, d, "frontier"))
+            )
             if done:
                 last = os.path.join(self.ckpt, done[-1])
                 frontier = spark.read.parquet(os.path.join(last, "frontier"))
-                seen = spark.read.parquet(os.path.join(last, "seen"))
                 start_round = int(done[-1].split("=")[1]) + 1
-            else:
-                resume = False
+                if os.path.isdir(self._seen_dir):
+                    self._seen_count = self._read_seen(start_round).count()
+                for d in done:  # carry forward prior rounds' outputs
+                    base = os.path.join(self.ckpt, d)
+                    all_content.append(spark.read.parquet(os.path.join(base, "content_delta")))
+                    all_comments.append(spark.read.parquet(os.path.join(base, "comments_delta")))
+                    all_metrics.append(spark.read.parquet(os.path.join(base, "metrics_delta")))
+                    all_denied.append(spark.read.parquet(os.path.join(base, "denied_delta")))
         if start_round == 0:
+            if os.path.isdir(self._seen_dir):
+                shutil.rmtree(self._seen_dir)
             frontier = self.seed_frontier(seeds)
             if self.ckpt is None:
                 frontier = frontier.localCheckpoint(eager=True)
-            seen = empty("url string, round_id int")
+        os.makedirs(self._seen_dir, exist_ok=True)
 
-        all_content, all_comments, all_metrics, all_denied = [], [], [], []
         r = start_round
+        debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
         for r in range(start_round, max_rounds):
-            content, comments, seen, frontier, metrics, denied = self._round(frontier, seen, r)
+            t0 = time.time()
+            seen = self._read_seen(r)
+            content, comments, seen_delta, frontier_next, metrics, denied = self._round(
+                frontier, seen, r
+            )
+            t_build = time.time() - t0
             denied = denied.select(*_FRONTIER_COLS)
-            # Materialize the iterated state every round (checkpoint +
-            # lineage truncation). Round *deltas* only need materializing
-            # when a checkpoint dir is set (resume durability): in-memory
-            # mode leaves them lazy — their parents (frontier/seen) are
-            # already checkpointed, so the plans stay shallow and each
-            # round saves four table writes.
-            seen = self._materialize(seen, r, "seen")
-            frontier = self._materialize(frontier, r, "frontier")
+
+            # persist round outputs; frontier is written LAST — its presence
+            # marks the round complete for resume
+            t1 = time.time()
+            seen_delta = seen_delta.persist()
+            delta_n = seen_delta.count()
+            seen_delta.write.mode("append").parquet(self._seen_dir)
+            self._seen_count += delta_n
+            t_seen = time.time() - t1
             if self.ckpt:
                 content = self._materialize(content, r, "content_delta")
                 comments = self._materialize(comments, r, "comments_delta")
                 metrics = self._materialize(metrics, r, "metrics_delta")
                 denied = self._materialize(denied, r, "denied_delta")
-            if not self.ckpt:
-                # lazy deltas reference the round cache — snapshot them
-                # before unpersisting
+            else:
                 content = content.localCheckpoint(eager=True)
                 comments = comments.localCheckpoint(eager=True)
                 metrics = metrics.localCheckpoint(eager=True)
                 denied = denied.localCheckpoint(eager=True)
+            t1 = time.time()
+            frontier = self._materialize(frontier_next, r, "frontier")
+            t_frontier = time.time() - t1
             all_content.append(content)
             all_comments.append(comments)
             all_metrics.append(metrics)
             all_denied.append(denied)
+
+            # incremental Bloom maintenance (delta merge, never a rebuild
+            # once active)
+            if self.use_bloom:
+                if self._bloom is None and self._seen_count >= self.bloom_min_seen:
+                    self._bloom = seen_ops.ShardedBloom.build(
+                        self._read_seen(r + 1),
+                        expected_per_shard=self.bloom_capacity_per_shard,
+                    )
+                elif self._bloom is not None and delta_n > 0:
+                    self._bloom = self._bloom.merge(
+                        seen_ops.ShardedBloom.build(
+                            seen_delta,
+                            expected_per_shard=self.bloom_capacity_per_shard,
+                        )
+                    )
+            seen_delta.unpersist()
             for df in getattr(self, "_round_cache", []):
                 df.unpersist()
-            if self.use_bloom:
-                self._seen_count = seen.count()
+            if debug:
+                print(
+                    f"[crawl r{r}] build={t_build:.2f}s seen_delta={t_seen:.2f}s "
+                    f"frontier={t_frontier:.2f}s deltas={time.time()-t0-t_build-t_seen-t_frontier:.2f}s "
+                    f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
+                )
             if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
                 break
 
         return CrawlResult(
             content=_union_all(all_content) if all_content else empty("note_id string"),
             comments=_union_all(all_comments) if all_comments else empty("comment_id string"),
-            seen=seen,
+            seen=self._read_seen(r + 1).dropDuplicates(["url"]),
             frontier=frontier,
             metrics=_union_all(all_metrics) if all_metrics else empty("round_id int, host string"),
             denied=_union_all(all_denied) if all_denied else empty("url string"),

@@ -266,6 +266,11 @@ def build_pages(
     """
     if documents is None:
         documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The driver tables are single parquet files (1 input partition): spread
+    # generation across the cluster or every downstream scan of the corpus
+    # runs 1-3 tasks wide. Hash on doc_id keeps it deterministic.
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    documents = documents.repartition(n_part, "doc_id")
     pages = (
         build_content_pages(documents)
         .unionByName(build_comment_pages(documents))

@@ -48,10 +48,15 @@ def test_pages_layout_partition_pruning(spark, documents, tmp_path):
 
 
 def test_whole_stage_codegen_on_relational_battery(spark, sf_dir):
+    """Spark 4 renders codegen spans as '*(n)' markers; AQE only finalizes
+    the plan after execution, so collect first."""
     from mediacrawler_spark.queries import q_agg_pricing, q_window_budget
 
-    assert "WholeStageCodegen" in _plan(q_agg_pricing(spark, sf_dir))
-    assert "WholeStageCodegen" in _plan(q_window_budget(spark, sf_dir))
+    for q in (q_agg_pricing, q_window_budget):
+        df = q(spark, sf_dir)
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan and "*(" in plan, plan[:500]
 
 
 def test_no_batch_eval_python_anywhere_in_registry(spark, sf_dir):
