@@ -57,7 +57,57 @@ def classify_url_col(url: Column) -> Column:
     return (
         F.when(url.contains("/api/subcomments/"), F.lit("subcomments"))
         .when(url.contains("/api/comments/"), F.lit("comments"))
+        .when(url.contains("/search/"), F.lit("search"))
+        .when(url.contains("/user/"), F.lit("creator"))
         .otherwise(F.lit("content"))
+    )
+
+
+SEARCH_PAGE_DDL = "has_more boolean, note_urls array<string>"
+CREATOR_DDL = "user_id string, nickname string, gender int, follows string, fans string"
+
+
+def extract_search_pages(pages: DataFrame) -> DataFrame:
+    """Search result pages → one row per listed note URL + paging info
+    (S1–S7: the reference's keyword page loop, xhs/core.py:123-147).
+
+    ``item_idx`` = position of the note on the page; ``search_page`` and
+    ``search_kw`` parsed from the URL; page-level has_more on every row.
+    """
+    parsed = pages.withColumn(
+        "_p", F.from_json(F.decode(F.col("html"), "UTF-8"), SEARCH_PAGE_DDL)
+    )
+    return parsed.select(
+        F.col("url"),
+        F.col("host"),
+        F.regexp_extract(F.col("url"), r"/search/([^?]+)", 1).alias("search_kw"),
+        F.regexp_extract(F.col("url"), r"page=(\d+)", 1).cast("int").alias("search_page"),
+        F.col("_p.has_more").alias("has_more"),
+        F.posexplode_outer(F.col("_p.note_urls")).alias("item_idx", "note_url"),
+    )
+
+
+def extract_creators(pages: DataFrame) -> DataFrame:
+    """Creator profile pages → normalized creator rows (S13 + E13 gender
+    mapping; per-platform int→label tables kept distinct like the
+    reference, store/xhs/__init__.py:188-194 vs zhihu/help.py:301-316)."""
+    from mediacrawler_spark.functions.text import gender_col
+
+    plat = platform_col(F.col("host"))
+    c = F.from_json(F.decode(F.col("html"), "UTF-8"), CREATOR_DDL)
+    gender = (
+        F.when(plat == "zhihu", gender_col(F.col("_c.gender"), "zhihu"))
+        .otherwise(gender_col(F.col("_c.gender"), "xhs"))
+    )
+    return pages.withColumn("_c", c).select(
+        F.col("url"),
+        F.col("host"),
+        plat.alias("platform"),
+        F.col("_c.user_id").alias("user_id"),
+        F.col("_c.nickname").alias("nickname"),
+        gender.alias("gender"),
+        F.col("_c.follows").alias("follows"),
+        F.col("_c.fans").alias("fans"),
     )
 
 
@@ -103,12 +153,19 @@ _ZHIHU_DDL = (
 _TIEBA_DDL = "author struct<user_id:string, user_name:string>"
 
 
-def extract_content(pages: DataFrame) -> DataFrame:
-    """Content pages → normalized content rows (P1 projection).
+_CONTENT_COLS: list | None = None
 
-    Expects columns url, host, html (binary), text. Emits the CONTENT
-    field set minus ordering/lineage (attached by the crawl loop).
+
+def _content_cols() -> list:
+    """Column list for the content projection, built once per process.
+
+    The expression tree is ~150 py4j calls; the crawl loop calls
+    ``extract_content`` every round, so caching the unresolved Columns
+    (they bind by name at analysis time) removes per-round driver latency.
     """
+    global _CONTENT_COLS
+    if _CONTENT_COLS is not None:
+        return _CONTENT_COLS
     html_str = F.decode(F.col("html"), "UTF-8")
     plat = platform_col(F.col("host"))
     raw = _state_json_col(html_str, plat)
@@ -120,7 +177,7 @@ def extract_content(pages: DataFrame) -> DataFrame:
 
     note_id = F.element_at(F.split(F.element_at(F.split(F.col("url"), r"\?"), 1), "/"), -1)
     eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
-    return pages.select(
+    _CONTENT_COLS = [
         F.col("url"),
         plat.alias("platform"),
         F.col("host"),
@@ -135,7 +192,47 @@ def extract_content(pages: DataFrame) -> DataFrame:
         .otherwise(eff["user"]["nickname"]).alias("nickname"),
         eff["interactInfo"]["likedCount"].alias("liked_count"),
         eff["time"].alias("time"),
-    )
+    ]
+    return _CONTENT_COLS
+
+
+def extract_content(pages: DataFrame) -> DataFrame:
+    """Content pages → normalized content rows (P1 projection).
+
+    Expects columns url, host, html (binary), text. Emits the CONTENT
+    field set minus ordering/lineage (attached by the crawl loop).
+    """
+    return pages.select(*_content_cols())
+
+
+_COMMENT_COLS: tuple | None = None
+
+
+def _comment_cols() -> tuple:
+    global _COMMENT_COLS
+    if _COMMENT_COLS is not None:
+        return _COMMENT_COLS
+    note_id = F.regexp_extract(F.col("url"), r"/api/(?:sub)?comments/([^?]+)", 1)
+    kind = classify_url_col(F.col("url"))
+    stage1 = [
+        F.col("url"),
+        F.col("host"),
+        kind.alias("kind"),
+        note_id.alias("target_id"),
+        F.col("_page.has_more").alias("has_more"),
+        F.col("_page.cursor").alias("next_cursor"),
+        F.posexplode_outer(F.col("_page.comments")).alias("item_idx", "c"),
+    ]
+    stage2 = [
+        F.col("url"), F.col("host"), F.col("kind"), F.col("target_id"),
+        F.col("has_more"), F.col("next_cursor"), F.col("item_idx"),
+        F.col("c.id").alias("comment_id"),
+        F.col("c.content").alias("content"),
+        F.col("c.create_time").alias("create_time"),
+        F.col("c.sub_comment_count").alias("sub_comment_count"),
+    ]
+    _COMMENT_COLS = (stage1, stage2)
+    return _COMMENT_COLS
 
 
 def extract_comment_pages(pages: DataFrame) -> DataFrame:
@@ -146,27 +243,11 @@ def extract_comment_pages(pages: DataFrame) -> DataFrame:
     are carried on every row for the frontier-emission step (J2/J3
     iterative-join semantics, media_platform/xhs/client.py:325-428).
     """
+    stage1, stage2 = _comment_cols()
     parsed = pages.withColumn(
         "_page", F.from_json(F.decode(F.col("html"), "UTF-8"), COMMENT_PAGE_DDL)
     )
-    note_id = F.regexp_extract(F.col("url"), r"/api/(?:sub)?comments/([^?]+)", 1)
-    kind = classify_url_col(F.col("url"))
-    exploded = parsed.select(
-        F.col("url"),
-        F.col("host"),
-        kind.alias("kind"),
-        note_id.alias("target_id"),
-        F.col("_page.has_more").alias("has_more"),
-        F.col("_page.cursor").alias("next_cursor"),
-        F.posexplode_outer(F.col("_page.comments")).alias("item_idx", "c"),
-    )
-    return exploded.select(
-        "url", "host", "kind", "target_id", "has_more", "next_cursor", "item_idx",
-        F.col("c.id").alias("comment_id"),
-        F.col("c.content").alias("content"),
-        F.col("c.create_time").alias("create_time"),
-        F.col("c.sub_comment_count").alias("sub_comment_count"),
-    )
+    return parsed.select(*stage1).select(*stage2)
 
 
 # ---------------------------------------------------------------------------

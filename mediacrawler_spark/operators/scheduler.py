@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 
 ORDER_COLS = ["priority", "keyword", "page", "item_idx", "cursor_seq", "url"]
 
+_W1 = None
+_W2 = None
+_ORDER_ASC = None
+
+
+def _windows():
+    """Window specs + order list, built once (py4j round-trip economy)."""
+    global _W1, _W2, _ORDER_ASC
+    if _W1 is None:
+        _ORDER_ASC = [F.col(c).asc_nulls_last() for c in ORDER_COLS]
+        _W1 = Window.partitionBy("host", "_salt").orderBy(*_ORDER_ASC)
+        _W2 = Window.partitionBy("host").orderBy(*_ORDER_ASC)
+    return _W1, _W2, _ORDER_ASC
+
 
 def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Split-mark frontier rows by the robots rules table (broadcast dim).
@@ -68,15 +82,14 @@ def select_round(
     # Phase 1: rank within (host, salt) shards — fully parallel even for a
     # host holding 50% of the frontier. Keep only rows that could possibly
     # make the per-host cut: shard-rank ≤ host budget.
+    w1, w2, order_asc = _windows()
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS])
     pre = (
         eligible.withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("max_per_round"))
     )
     # Phase 2: exact rank within host over ≤ n_salts·budget survivors.
-    w2 = Window.partitionBy("host").orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS])
     scheduled = (
         pre.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("max_per_round"))
@@ -84,7 +97,7 @@ def select_round(
     )
     if global_limit is not None:
         # O3-style global budget: deterministic order, then limit.
-        scheduled = scheduled.orderBy(*[F.col(c).asc_nulls_last() for c in ORDER_COLS]).limit(global_limit)
+        scheduled = scheduled.orderBy(*order_asc).limit(global_limit)
     return scheduled, denied
 
 

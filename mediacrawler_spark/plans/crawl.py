@@ -55,11 +55,87 @@ _FRONTIER_COLS = [
     "not_before_round", "keyword", "page", "item_idx", "cursor_seq", "round_id",
 ]
 
+_RC: dict | None = None
+
+
+def _round_cols() -> dict:
+    """Static per-round column lists, built once per process (the round
+    loop re-issues these plans every round; caching the unresolved Columns
+    removes ~1-2 s/round of py4j plan-construction latency). Round-scoped
+    literals (round_id, not_before_round) are attached via withColumn."""
+    global _RC
+    if _RC is not None:
+        return _RC
+    _RC = {
+        "content": [
+            F.col("note_id"), F.col("url"), F.col("platform"), F.col("title"),
+            F.col("desc"), F.col("text"), F.col("user_id"), F.col("nickname"),
+            F.col("liked_count"), F.col("time"),
+            F.col("keyword").alias("source_keyword"),
+            F.col("keyword").alias("ord_keyword"),
+            F.col("page").alias("ord_page"),
+            F.col("item_idx").alias("ord_item_idx"),
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+        ],
+        "comment_seed": [
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
+                url_note_id_col(F.col("url")), F.lit("?cursor=0"),
+            ).alias("url"),
+            F.col("host"), F.col("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("keyword"), F.col("page"), F.col("item_idx"),
+            F.lit(0).alias("cursor_seq"),
+        ],
+        "comments": [
+            F.col("comment_id"),
+            F.when(F.col("kind") == "comments", F.col("target_id"))
+            .otherwise(F.regexp_extract(F.col("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
+            F.when(F.col("kind") == "subcomments", F.col("target_id"))
+            .otherwise(F.lit(None).cast("string")).alias("parent_comment_id"),
+            F.col("content"), F.col("create_time"), F.col("sub_comment_count"),
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+            F.col("item_idx").alias("ord_item_idx"),
+        ],
+        "next_cursor_seed": [
+            F.concat(
+                F.lit("https://"), F.col("host"),
+                F.when(F.col("kind") == "comments", F.lit("/api/comments/"))
+                .otherwise(F.lit("/api/subcomments/")),
+                F.col("target_id"), F.lit("?cursor="), F.col("next_cursor"),
+            ).alias("url"),
+            F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"), F.col("page"),
+            F.col("f_item_idx").alias("item_idx"),
+            (F.col("cursor_seq") + 1).alias("cursor_seq"),
+        ],
+        "sub_seed": [
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
+                F.col("comment_id"), F.lit("?cursor=0"),
+            ).alias("url"),
+            F.col("host"), F.col("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("keyword"), F.col("page"), F.col("item_idx"),
+            F.lit(0).alias("cursor_seq"),
+        ],
+        "new_frontier": [
+            F.col("url"), F.col("host"),
+            F.col("priority").cast("int").alias("priority"),
+            F.col("depth").cast("int").alias("depth"),
+            F.lit("open").alias("state"),
+            F.lit(None).cast("string").alias("cursor"),
+            F.lit(0).alias("attempts"),
+            F.col("keyword"), F.col("page"), F.col("item_idx"), F.col("cursor_seq"),
+        ],
+    }
+    return _RC
+
 
 @dataclass
 class CrawlResult:
     content: DataFrame
     comments: DataFrame
+    creators: DataFrame
     seen: DataFrame
     frontier: DataFrame
     metrics: DataFrame
@@ -76,11 +152,14 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         enable_sub_comments: bool = True,  # reference ENABLE_GET_SUB_COMMENTS (base_config.py:90)
         max_comments_per_note: int | None = None,  # CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES analog
+        max_search_pages: int | None = None,  # O3 page budget (CRAWLER_MAX_NOTES_COUNT/page_size)
+        crawl_creators: bool = False,  # §3.3 creator mode: fetch author profiles
         use_bloom: bool = True,
         bloom_min_seen: int = 20_000,
         bloom_capacity_per_shard: int = 500_000,
         n_salts: int = 8,
         global_limit: int | None = None,
+        broadcast_threshold: int = 3_000_000,
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -89,6 +168,8 @@ class CrawlEngine:
         self.ckpt = checkpoint_dir
         self.enable_sub_comments = enable_sub_comments
         self.max_comments_per_note = max_comments_per_note
+        self.max_search_pages = max_search_pages
+        self.crawl_creators = crawl_creators
         self.use_bloom = use_bloom
         # The Bloom prefilter is maintained *incrementally* (north_rule):
         # round r's filter = filter(r-1) OR build(delta_r) — never rebuilt
@@ -101,6 +182,13 @@ class CrawlEngine:
         self._seen_count = 0
         self.n_salts = n_salts
         self.global_limit = global_limit
+        # Fetch-join strategy switch: scheduled batches broadcast (the
+        # pages side is never shuffled). Measured on this corpus a
+        # shuffle-hash join is ~2× slower even at 400k-row batches — the
+        # broadcast stays the default far beyond typical round sizes and
+        # the threshold exists for cluster configs where the batch
+        # outgrows executor memory.
+        self.broadcast_threshold = broadcast_threshold
 
     # -- state materialization ---------------------------------------------
     def _materialize(self, df: DataFrame, round_id: int, name: str) -> DataFrame:
@@ -138,51 +226,39 @@ class CrawlEngine:
         # comments, seen, frontier, metrics); cache them for the round so
         # each is computed once (unpersisted by run() after checkpointing).
         scheduled = scheduled.persist()
-        # Fetch-join: scheduled batch is bounded by per-host budgets →
-        # broadcast it against the big pages table (J1).
-        fetched = self.pages.join(F.broadcast(scheduled), on="url", how="inner").persist()
+        n_scheduled = scheduled.count()
+        # Fetch-join (J1): bounded batches broadcast against the big pages
+        # table; very large batches use a shuffle-hash join instead (the
+        # driver-side broadcast collect is the serial bottleneck there).
+        if n_scheduled <= self.broadcast_threshold:
+            probe = F.broadcast(scheduled)
+        else:
+            probe = scheduled.hint("shuffle_hash")
+        fetched = self.pages.join(probe, on="url", how="inner").persist()
         self._round_cache = [scheduled, fetched]
         misses = scheduled.join(fetched.select("url"), on="url", how="left_anti")
 
         kind = X.classify_url_col(F.col("url"))
         fetched = fetched.withColumn("kind", kind)
 
+        rc = _round_cols()
         # --- content extraction (P1 + E2–E5) ---
         content_pages = fetched.filter(F.col("kind") == "content")
         content = X.extract_content(content_pages).join(
             content_pages.select("url", "keyword", "page", "item_idx", "cursor_seq"),
             on="url",
-        ).select(
-            "note_id", "url", "platform", "title", "desc", "text",
-            "user_id", "nickname", "liked_count", "time",
-            F.col("keyword").alias("source_keyword"),
-            F.col("keyword").alias("ord_keyword"),
-            F.col("page").alias("ord_page"),
-            F.col("item_idx").alias("ord_item_idx"),
-            F.col("cursor_seq").alias("ord_cursor_seq"),
-            F.lit(round_id).alias("round_id"),
-        )
+        ).select(*rc["content"]).withColumn("round_id", F.lit(round_id))
 
         # comment-count discovery from the page body → seed first cursor page
         n_com = F.regexp_extract(F.decode(F.col("html"), "UTF-8"), r"comments:(\d+)", 1)
         comment_seeds = (
             content_pages.withColumn("_n", F.nullif(n_com, F.lit("")).cast("int"))
             .filter(F.col("_n") > 0)
-            .select(
-                F.concat(
-                    F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
-                    url_note_id_col(F.col("url")), F.lit("?cursor=0"),
-                ).alias("url"),
-                "host",
-                F.col("priority"),
-                (F.col("depth") + 1).alias("depth"),
-                "keyword", "page", "item_idx",
-                F.lit(0).alias("cursor_seq"),
-            )
+            .select(*rc["comment_seed"])
         )
 
         # --- comment extraction (J2/J3) ---
-        comment_pages = fetched.filter(F.col("kind") != "content")
+        comment_pages = fetched.filter(F.col("kind").isin("comments", "subcomments"))
         # item_idx from extraction = comment position on the page (W4 key);
         # f_item_idx = the frontier row's inherited position.
         cx = X.extract_comment_pages(
@@ -194,57 +270,110 @@ class CrawlEngine:
             ),
             on="url",
         )
-        comments = cx.filter(F.col("comment_id").isNotNull()).select(
-            "comment_id",
-            F.when(F.col("kind") == "comments", F.col("target_id"))
-            .otherwise(F.regexp_extract(F.col("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
-            F.when(F.col("kind") == "subcomments", F.col("target_id"))
-            .otherwise(F.lit(None).cast("string")).alias("parent_comment_id"),
-            "content",
-            "create_time",
-            "sub_comment_count",
-            F.col("cursor_seq").alias("ord_cursor_seq"),
-            F.col("item_idx").alias("ord_item_idx"),
-            F.lit(round_id).alias("round_id"),
+        comments = (
+            cx.filter(F.col("comment_id").isNotNull())
+            .select(*rc["comments"])
+            .withColumn("round_id", F.lit(round_id))
         )
 
         page_info = cx.select(
             "url", "host", "kind", "target_id", "has_more", "next_cursor",
             "priority", "depth", "keyword", "page", "f_item_idx", "cursor_seq",
         ).dropDuplicates(["url"])
-        next_cursor_seeds = page_info.filter(F.col("has_more")).select(
-            F.concat(
-                F.lit("https://"), F.col("host"),
-                F.when(F.col("kind") == "comments", F.lit("/api/comments/")).otherwise(F.lit("/api/subcomments/")),
-                F.col("target_id"), F.lit("?cursor="), F.col("next_cursor"),
-            ).alias("url"),
-            "host", "priority", "depth", "keyword", "page",
-            F.col("f_item_idx").alias("item_idx"),
-            (F.col("cursor_seq") + 1).alias("cursor_seq"),
-        )
+        next_cursor_seeds = page_info.filter(F.col("has_more")).select(*rc["next_cursor_seed"])
         sub_seeds = (
             cx.filter(
                 (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
-            ).select(
-                F.concat(
-                    F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
-                    F.col("comment_id"), F.lit("?cursor=0"),
-                ).alias("url"),
-                "host", "priority",
-                (F.col("depth") + 1).alias("depth"),
-                "keyword", "page",
-                F.col("item_idx"),
-                F.lit(0).alias("cursor_seq"),
-            )
+            ).select(*rc["sub_seed"])
             if self.enable_sub_comments
             else self.spark.createDataFrame(
                 [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
             )
         )
 
+        # --- search-page expansion (S1–S7: keyword page loop → J1 fan-out) ---
+        search_pages = fetched.filter(F.col("kind") == "search")
+        sx = X.extract_search_pages(search_pages.select("url", "host", "html")).join(
+            search_pages.select("url", "priority", "depth", "keyword"), on="url"
+        )
+        note_seeds = sx.filter(F.col("note_url").isNotNull()).select(
+            F.col("note_url").alias("url"),
+            F.parse_url(F.col("note_url"), F.lit("HOST")).alias("host"),
+            "priority",
+            (F.col("depth") + 1).alias("depth"),
+            "keyword",
+            F.col("search_page").alias("page"),
+            "item_idx",
+            F.lit(0).alias("cursor_seq"),
+        )
+        next_search_gate = F.col("has_more") & (
+            F.lit(True)
+            if self.max_search_pages is None
+            else (F.col("search_page") + 1 <= F.lit(self.max_search_pages))
+        )
+        next_search_seeds = (
+            sx.dropDuplicates(["url"])
+            .filter(next_search_gate)
+            .select(
+                F.concat(
+                    F.lit("https://"), F.col("host"), F.lit("/search/"),
+                    F.col("search_kw"), F.lit("?page="),
+                    (F.col("search_page") + 1).cast("string"),
+                ).alias("url"),
+                "host", "priority", "depth", "keyword",
+                (F.col("search_page") + 1).alias("page"),
+                F.lit(0).alias("item_idx"),
+                F.lit(0).alias("cursor_seq"),
+            )
+        )
+
+        # --- creator profiles (S13, §3.3 creator mode) ---
+        creator_pages = fetched.filter(F.col("kind") == "creator")
+        creators = X.extract_creators(
+            creator_pages.select("url", "host", "html")
+        ).withColumn("round_id", F.lit(round_id))
+        if self.crawl_creators:
+            # same author on many notes → one seed; the winner's ordering
+            # metadata is the MIN (keyword,page,item_idx) — deterministic,
+            # mirrored exactly by the sequential simulator
+            creator_seeds = (
+                content.filter(F.col("user_id").isNotNull())
+                .groupBy(
+                    F.concat(
+                        F.lit("https://h0."), F.col("platform"),
+                        F.lit(".example/user/"), F.col("user_id"),
+                    ).alias("url"),
+                    F.concat(F.lit("h0."), F.col("platform"), F.lit(".example")).alias("host"),
+                )
+                .agg(
+                    F.min(
+                        F.struct(
+                            F.col("source_keyword").alias("keyword"),
+                            F.col("ord_page").alias("page"),
+                            F.col("ord_item_idx").alias("item_idx"),
+                        )
+                    ).alias("_o")
+                )
+                .select(
+                    "url", "host",
+                    F.lit(0).alias("priority"),
+                    F.lit(0).alias("depth"),
+                    F.col("_o.keyword").alias("keyword"),
+                    F.col("_o.page").alias("page"),
+                    F.col("_o.item_idx").alias("item_idx"),
+                    F.lit(0).alias("cursor_seq"),
+                )
+            )
+        else:
+            creator_seeds = self.spark.createDataFrame(
+                [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
+            )
+
         # --- frontier maintenance ---
         discovered = (
             comment_seeds.unionByName(next_cursor_seeds).unionByName(sub_seeds)
+            .unionByName(note_seeds).unionByName(next_search_seeds)
+            .unionByName(creator_seeds)
             .dropDuplicates(["url"])
         )
         active_urls = frontier.select("url")
@@ -253,18 +382,13 @@ class CrawlEngine:
         else:
             new_urls = seen_ops.unseen_exact(discovered, seen)
         new_urls = new_urls.join(active_urls, on="url", how="left_anti")
-        new_frontier_rows = new_urls.select(
-            "url", "host",
-            F.col("priority").cast("int"),
-            F.col("depth").cast("int"),
-            F.lit("open").alias("state"),
-            F.lit(None).cast("string").alias("cursor"),
-            F.lit(0).alias("attempts"),
+        new_frontier_rows = (
+            new_urls.select(*rc["new_frontier"])
             # politeness: newly discovered URLs wait at least one round
             # (crawl_delay analog; retries use exponential backoff below)
-            F.lit(round_id + 1).alias("not_before_round"),
-            "keyword", "page", "item_idx", "cursor_seq",
-            F.lit(round_id).alias("round_id"),
+            .withColumn("not_before_round", F.lit(round_id + 1))
+            .withColumn("round_id", F.lit(round_id))
+            .select(*_FRONTIER_COLS)
         )
 
         retries = (
@@ -320,7 +444,7 @@ class CrawlEngine:
             "host", "scheduled", "fetched", "parsed", "failed",
             F.lit(0).cast("long").alias("deduped"),
         )
-        return content, comments, seen_delta, new_frontier, metrics, denied
+        return content, comments, creators, seen_delta, new_frontier, metrics, denied
 
     # -- seen log (append-only) ---------------------------------------------
     def _read_seen(self, upto_round: int) -> DataFrame:
@@ -343,6 +467,7 @@ class CrawlEngine:
         empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
         start_round = 0
         all_content, all_comments, all_metrics, all_denied = [], [], [], []
+        all_creators = []
 
         if self.ckpt:
             self._seen_dir = os.path.join(self.ckpt, "seen")
@@ -368,6 +493,8 @@ class CrawlEngine:
                     all_comments.append(spark.read.parquet(os.path.join(base, "comments_delta")))
                     all_metrics.append(spark.read.parquet(os.path.join(base, "metrics_delta")))
                     all_denied.append(spark.read.parquet(os.path.join(base, "denied_delta")))
+                    if os.path.isdir(os.path.join(base, "creators_delta")):
+                        all_creators.append(spark.read.parquet(os.path.join(base, "creators_delta")))
         if start_round == 0:
             if os.path.isdir(self._seen_dir):
                 shutil.rmtree(self._seen_dir)
@@ -381,7 +508,7 @@ class CrawlEngine:
         for r in range(start_round, max_rounds):
             t0 = time.time()
             seen = self._read_seen(r)
-            content, comments, seen_delta, frontier_next, metrics, denied = self._round(
+            content, comments, creators, seen_delta, frontier_next, metrics, denied = self._round(
                 frontier, seen, r
             )
             t_build = time.time() - t0
@@ -398,11 +525,13 @@ class CrawlEngine:
             if self.ckpt:
                 content = self._materialize(content, r, "content_delta")
                 comments = self._materialize(comments, r, "comments_delta")
+                creators = self._materialize(creators, r, "creators_delta")
                 metrics = self._materialize(metrics, r, "metrics_delta")
                 denied = self._materialize(denied, r, "denied_delta")
             else:
                 content = content.localCheckpoint(eager=True)
                 comments = comments.localCheckpoint(eager=True)
+                creators = creators.localCheckpoint(eager=True)
                 metrics = metrics.localCheckpoint(eager=True)
                 denied = denied.localCheckpoint(eager=True)
             t1 = time.time()
@@ -410,6 +539,7 @@ class CrawlEngine:
             t_frontier = time.time() - t1
             all_content.append(content)
             all_comments.append(comments)
+            all_creators.append(creators)
             all_metrics.append(metrics)
             all_denied.append(denied)
 
@@ -443,6 +573,7 @@ class CrawlEngine:
         return CrawlResult(
             content=_union_all(all_content) if all_content else empty("note_id string"),
             comments=_union_all(all_comments) if all_comments else empty("comment_id string"),
+            creators=_union_all(all_creators) if all_creators else empty("user_id string"),
             seen=self._read_seen(r + 1).dropDuplicates(["url"]),
             frontier=frontier,
             metrics=_union_all(all_metrics) if all_metrics else empty("round_id int, host string"),

@@ -253,6 +253,106 @@ def build_subcomment_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def build_search_pages(documents: DataFrame) -> DataFrame:
+    """Keyword-search result pages (reference S1–S7: paginated search APIs).
+
+    One page per (platform, keyword, page#): a JSON body listing 10 note
+    URLs in deterministic (doc_id) order plus a ``has_more`` flag — the
+    engine's search mode walks these exactly like the reference's
+    ``get_note_by_keyword`` page loop (media_platform/xhs/core.py:123-147).
+    Search pages live on the platform's h0 host.
+    """
+    from pyspark.sql import Window
+
+    b = _base(documents)
+    kw = F.concat(F.lit("kw"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"))
+    w = Window.partitionBy("platform", "_kw").orderBy("doc_id")
+    items = (
+        b.withColumn("_kw", kw)
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_pg", (F.col("_rn") / 10).cast("int") + 1)
+        .withColumn("_note_url", _content_url(b))
+    )
+    grouped = items.groupBy("platform", "_kw", "_pg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rn").alias("rn"), F.col("_note_url").alias("u")))
+                ),
+                lambda s: F.concat(F.lit('"'), s["u"], F.lit('"')),
+            ),
+            ",",
+        ).alias("_urls"),
+        F.count("*").alias("_n"),
+        F.min("warc_ts").alias("warc_ts"),
+    )
+    wmax = Window.partitionBy("platform", "_kw")
+    grouped = grouped.withColumn("_maxpg", F.max("_pg").over(wmax))
+    body = F.concat(
+        F.lit('{"has_more":'), (F.col("_pg") < F.col("_maxpg")).cast("string"),
+        F.lit(',"note_urls":['), F.col("_urls"), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://h0."), F.col("platform"), F.lit(".example/search/"),
+        F.col("_kw"), F.lit("?page="), F.col("_pg").cast("string"),
+    )
+    return grouped.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("search").alias("kind"),
+        "platform",
+        F.concat(F.lit("h0."), F.col("platform"), F.lit(".example")).alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
+def build_creator_pages(documents: DataFrame) -> DataFrame:
+    """Creator-info pages (reference S13: profile HTML with embedded JSON).
+
+    One page per (platform, user_id) on the platform's h0 host; JSON body
+    carries the creator fields the reference normalizes
+    (store/xhs/__init__.py:165-211: nickname, gender int, follows/fans
+    count-strings).
+    """
+    b = _base(documents)
+    creators = b.groupBy("platform", "user_id").agg(
+        F.min("warc_ts").alias("warc_ts"),
+        F.first("nickname").alias("nickname"),
+        F.min("doc_id").alias("_min_doc"),
+    )
+    gender_i = F.pmod(F.col("_min_doc"), F.lit(3))  # 0/1/2 → 男/女/unknown
+    fans = F.element_at(
+        F.array(F.lit("12"), F.lit("3456"), F.lit("1.8万"), F.lit("10万+")),
+        (F.pmod(F.col("_min_doc"), F.lit(4)) + 1).cast("int"),
+    )
+    body = F.concat(
+        F.lit('{"user_id":"'), F.col("user_id"),
+        F.lit('","nickname":"'), F.col("nickname"),
+        F.lit('","gender":'), gender_i.cast("string"),
+        F.lit(',"follows":"'), F.pmod(F.col("_min_doc"), F.lit(500)).cast("string"),
+        F.lit('","fans":"'), fans, F.lit('"}'),
+    )
+    url = F.concat(
+        F.lit("https://h0."), F.col("platform"), F.lit(".example/user/"), F.col("user_id")
+    )
+    return creators.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("creator").alias("kind"),
+        "platform",
+        F.concat(F.lit("h0."), F.col("platform"), F.lit(".example")).alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
 def build_pages(
     spark: SparkSession,
     sf_dir: str,
@@ -275,6 +375,8 @@ def build_pages(
         build_content_pages(documents)
         .unionByName(build_comment_pages(documents))
         .unionByName(build_subcomment_pages(documents))
+        .unionByName(build_search_pages(documents))
+        .unionByName(build_creator_pages(documents))
     )
     if with_text:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
@@ -304,6 +406,18 @@ def build_seeds(
         F.lit(None).cast("string").alias("keyword"),
     )
     return seeds.unionByName(unknown)
+
+
+def build_search_seeds(spark: SparkSession, keywords: list[str] | None = None) -> DataFrame:
+    """Search-mode seeds (§3.1 flagship): page 1 of each keyword on every
+    platform — the reference's ``KEYWORDS.split(",")`` × platform loop."""
+    keywords = keywords or [f"kw{i}" for i in range(5)]
+    rows = [
+        (f"https://h0.{p}.example/search/{kw}?page=1", 0, kw)
+        for p in PLATFORMS
+        for kw in keywords
+    ]
+    return spark.createDataFrame(rows, "url string, priority int, keyword string")
 
 
 def build_robots(spark: SparkSession) -> DataFrame:

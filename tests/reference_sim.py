@@ -22,6 +22,7 @@ class SimResult:
     denied: set = field(default_factory=set)
     content: set = field(default_factory=set)   # (note_id, keyword, page, item_idx, cursor_seq)
     comments: set = field(default_factory=set)  # (comment_id, note_id, parent, cursor_seq, item_idx)
+    creators: set = field(default_factory=set)  # (user_id, platform)
     rounds: int = 0
 
 
@@ -30,6 +31,10 @@ def classify(url: str) -> str:
         return "subcomments"
     if "/api/comments/" in url:
         return "comments"
+    if "/search/" in url:
+        return "search"
+    if "/user/" in url:
+        return "creator"
     return "content"
 
 
@@ -47,7 +52,7 @@ ORDER = lambda f: (  # noqa: E731 — engine scheduler ORDER_COLS
 
 
 def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True,
-             max_attempts=3) -> SimResult:
+             max_attempts=3, crawl_creators=False, max_search_pages=None) -> SimResult:
     pages = {r["url"]: r for r in pages_rows}
     robots = {r["host"]: r for r in robots_rows}
     res = SimResult()
@@ -97,10 +102,41 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
             res.seen.add(f["url"])
             kind = classify(f["url"])
             body = bytes(page["html"]).decode("utf-8")
-            if kind == "content":
+            if kind == "search":
+                doc = json.loads(body)
+                kw = re.search(r"/search/([^?]+)", f["url"]).group(1)
+                pg = int(re.search(r"page=(\d+)", f["url"]).group(1))
+                for idx, nu in enumerate(doc["note_urls"]):
+                    discovered.append(dict(
+                        url=nu, host=host_of(nu), priority=f["priority"],
+                        depth=f["depth"] + 1, keyword=f["keyword"], page=pg,
+                        item_idx=idx, cursor_seq=0, attempts=0, not_before=rnd + 1,
+                    ))
+                if doc["has_more"] and (max_search_pages is None or pg + 1 <= max_search_pages):
+                    discovered.append(dict(
+                        url=f"https://{f['host']}/search/{kw}?page={pg + 1}",
+                        host=f["host"], priority=f["priority"], depth=f["depth"],
+                        keyword=f["keyword"], page=pg + 1, item_idx=0,
+                        cursor_seq=0, attempts=0, not_before=rnd + 1,
+                    ))
+            elif kind == "creator":
+                doc = json.loads(body)
+                platform = f["host"].split(".")[1]
+                res.creators.add((doc["user_id"], platform))
+            elif kind == "content":
                 res.content.add(
                     (note_id_of(f["url"]), f["keyword"], f["page"], f["item_idx"], f["cursor_seq"])
                 )
+                if crawl_creators:
+                    m_uid = re.search(r'data-uid="([^"]+)"', body)
+                    platform = f["host"].split(".")[1]
+                    if m_uid:
+                        discovered.append(dict(
+                            url=f"https://h0.{platform}.example/user/{m_uid.group(1)}",
+                            host=f"h0.{platform}.example", priority=0, depth=0,
+                            keyword=f["keyword"], page=f["page"], item_idx=f["item_idx"],
+                            cursor_seq=0, attempts=0, not_before=rnd + 1,
+                        ))
                 m = re.search(r"comments:(\d+)", body)
                 if m and int(m.group(1)) > 0:
                     discovered.append(dict(
@@ -131,7 +167,15 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         cursor_seq=f["cursor_seq"] + 1, attempts=0, not_before=rnd + 1,
                     ))
 
+        # within-round dedup: creator URLs can be emitted by many notes; the
+        # engine keeps the MIN (keyword,page,item_idx) metadata — mirror it
+        best: dict[str, dict] = {}
         for d in discovered:
+            cur = best.get(d["url"])
+            key = (d["keyword"] or "", d["page"], d["item_idx"])
+            if cur is None or key < (cur["keyword"] or "", cur["page"], cur["item_idx"]):
+                best[d["url"]] = d
+        for d in best.values():
             if d["url"] in res.seen or d["url"] in frontier:
                 continue
             frontier[d["url"]] = d

@@ -35,6 +35,9 @@ CPUS_4N = 4 * CPUS_N
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
 
+PAGES_STAGE = os.environ.get("SPARK_GRAFT_PAGES_STAGE", "/tmp/scaling_pages")
+
+
 def worker(cpus: int) -> None:
     from pyspark.sql import functions as F
 
@@ -55,7 +58,16 @@ def worker(cpus: int) -> None:
         (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
-    pages = synth.build_pages(spark, None, documents=docs16).persist()
+    # Pages live in a parquet table scanned per round — the deployment
+    # shape (Iceberg table on a cluster), and it keeps the multi-GB corpus
+    # out of JVM cache (in-heap caching of the corpus causes eviction/spill
+    # thrash at high parallelism). The staged corpus is reused across
+    # repetitions and levels: identical input for every run.
+    stage = f"{PAGES_STAGE}_x{AMPLIFY}"
+    if not os.path.isdir(stage):
+        synth.build_pages(spark, None, documents=docs16).write.mode("overwrite").parquet(stage + ".tmp")
+        os.rename(stage + ".tmp", stage)
+    pages = spark.read.parquet(stage)
     n_pages = pages.count()
     seeds = synth.build_seeds(spark, None, documents=docs16)
     robots = synth.build_robots(spark).withColumn("max_per_round", F.lit(10_000_000))
