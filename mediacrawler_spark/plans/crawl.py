@@ -151,7 +151,8 @@ class CrawlEngine:
         robots: DataFrame,
         checkpoint_dir: str | None = None,
         enable_sub_comments: bool = True,  # reference ENABLE_GET_SUB_COMMENTS (base_config.py:90)
-        max_comments_per_note: int | None = None,  # CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES analog
+        max_comments_per_note: int | None = None,  # W1: CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES
+        comment_page_size: int = 10,
         max_search_pages: int | None = None,  # O3 page budget (CRAWLER_MAX_NOTES_COUNT/page_size)
         crawl_creators: bool = False,  # §3.3 creator mode: fetch author profiles
         use_bloom: bool = True,
@@ -160,6 +161,7 @@ class CrawlEngine:
         n_salts: int = 8,
         global_limit: int | None = None,
         broadcast_threshold: int = 3_000_000,
+        fetch_join: str = "auto",  # auto | broadcast | colocated
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -168,6 +170,7 @@ class CrawlEngine:
         self.ckpt = checkpoint_dir
         self.enable_sub_comments = enable_sub_comments
         self.max_comments_per_note = max_comments_per_note
+        self.comment_page_size = comment_page_size
         self.max_search_pages = max_search_pages
         self.crawl_creators = crawl_creators
         self.use_bloom = use_bloom
@@ -182,21 +185,31 @@ class CrawlEngine:
         self._seen_count = 0
         self.n_salts = n_salts
         self.global_limit = global_limit
-        # Fetch-join strategy switch: scheduled batches broadcast (the
-        # pages side is never shuffled). Measured on this corpus a
-        # shuffle-hash join is ~2× slower even at 400k-row batches — the
-        # broadcast stays the default far beyond typical round sizes and
-        # the threshold exists for cluster configs where the batch
-        # outgrows executor memory.
+        # Fetch-join strategy (J1):
+        # - "broadcast": scheduled batch broadcast against pages — right for
+        #   bounded politeness batches; driver-side broadcast build is a
+        #   serial cost that grows with batch size (Amdahl at huge rounds).
+        # - "colocated": pages is a url-bucketed table → plain equi-join;
+        #   Catalyst shuffles ONLY the scheduled side into the bucket
+        #   partitioning, pages never moves and no driver serial work.
+        #   This is the 100 TB design (Iceberg bucket(url) / bucketBy).
+        # - "auto": broadcast below broadcast_threshold rows, else plain
+        #   join (colocated when the table is bucketed).
+        self.fetch_join = fetch_join
         self.broadcast_threshold = broadcast_threshold
 
     # -- state materialization ---------------------------------------------
+    # Always a parquet round-trip: parallel write + clean lineage cut.
+    # (localCheckpoint is NOT used: its block-manager writes contend
+    # pathologically at high task parallelism — measured 123 s vs 13 s for
+    # the same 560k-row delta at local[16] vs local[4].) When no checkpoint
+    # dir is configured, a scratch dir serves the same role without the
+    # resume guarantee.
     def _materialize(self, df: DataFrame, round_id: int, name: str) -> DataFrame:
-        if self.ckpt:
-            path = os.path.join(self.ckpt, f"round={round_id:05d}", name)
-            df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+        base = self.ckpt or self._scratch
+        path = os.path.join(base, f"round={round_id:05d}", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
 
     # -- seeding -----------------------------------------------------------
     def seed_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -227,13 +240,13 @@ class CrawlEngine:
         # each is computed once (unpersisted by run() after checkpointing).
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
-        # Fetch-join (J1): bounded batches broadcast against the big pages
-        # table; very large batches use a shuffle-hash join instead (the
-        # driver-side broadcast collect is the serial bottleneck there).
-        if n_scheduled <= self.broadcast_threshold:
-            probe = F.broadcast(scheduled)
+        # Fetch-join (J1) — see fetch_join in __init__.
+        if self.fetch_join == "colocated" or (
+            self.fetch_join == "auto" and n_scheduled > self.broadcast_threshold
+        ):
+            probe = scheduled
         else:
-            probe = scheduled.hint("shuffle_hash")
+            probe = F.broadcast(scheduled)
         fetched = self.pages.join(probe, on="url", how="inner").persist()
         self._round_cache = [scheduled, fetched]
         misses = scheduled.join(fetched.select("url"), on="url", how="left_anti")
@@ -275,16 +288,34 @@ class CrawlEngine:
             .select(*rc["comments"])
             .withColumn("round_id", F.lit(round_id))
         )
+        # W1 per-note top-level comment budget (reference trims at
+        # collection, xhs/client.py:347-356): a top-level comment's global
+        # position is cursor_seq·page_size + item_idx — deterministic, no
+        # running state needed.
+        if self.max_comments_per_note is not None:
+            mc, ps = self.max_comments_per_note, self.comment_page_size
+            pos = F.col("ord_cursor_seq") * ps + F.col("ord_item_idx")
+            comments = comments.filter(
+                F.col("parent_comment_id").isNotNull() | (pos < mc)
+            )
 
         page_info = cx.select(
             "url", "host", "kind", "target_id", "has_more", "next_cursor",
             "priority", "depth", "keyword", "page", "f_item_idx", "cursor_seq",
         ).dropDuplicates(["url"])
-        next_cursor_seeds = page_info.filter(F.col("has_more")).select(*rc["next_cursor_seed"])
+        cursor_gate = F.col("has_more")
+        sub_gate = (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
+        if self.max_comments_per_note is not None:
+            mc, ps = self.max_comments_per_note, self.comment_page_size
+            # stop paging a note once the budget is reachable on fetched pages
+            cursor_gate = cursor_gate & (
+                (F.col("kind") != "comments") | ((F.col("cursor_seq") + 1) * ps < mc)
+            )
+            # comments past the budget don't expand their sub-threads either
+            sub_gate = sub_gate & (F.col("cursor_seq") * ps + F.col("item_idx") < mc)
+        next_cursor_seeds = page_info.filter(cursor_gate).select(*rc["next_cursor_seed"])
         sub_seeds = (
-            cx.filter(
-                (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
-            ).select(*rc["sub_seed"])
+            cx.filter(sub_gate).select(*rc["sub_seed"])
             if self.enable_sub_comments
             else self.spark.createDataFrame(
                 [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
@@ -471,10 +502,12 @@ class CrawlEngine:
 
         if self.ckpt:
             self._seen_dir = os.path.join(self.ckpt, "seen")
+            self._scratch = None
         else:
             import tempfile
 
-            self._seen_dir = tempfile.mkdtemp(prefix="crawl_seen_")
+            self._scratch = tempfile.mkdtemp(prefix="crawl_state_")
+            self._seen_dir = os.path.join(self._scratch, "seen")
         if resume and self.ckpt and os.path.isdir(self.ckpt):
             # a round is complete iff its frontier dir exists (written last)
             done = sorted(
@@ -498,9 +531,7 @@ class CrawlEngine:
         if start_round == 0:
             if os.path.isdir(self._seen_dir):
                 shutil.rmtree(self._seen_dir)
-            frontier = self.seed_frontier(seeds)
-            if self.ckpt is None:
-                frontier = frontier.localCheckpoint(eager=True)
+            frontier = self._materialize(self.seed_frontier(seeds), 0, "frontier_seed")
         os.makedirs(self._seen_dir, exist_ok=True)
 
         r = start_round
@@ -522,18 +553,11 @@ class CrawlEngine:
             seen_delta.write.mode("append").parquet(self._seen_dir)
             self._seen_count += delta_n
             t_seen = time.time() - t1
-            if self.ckpt:
-                content = self._materialize(content, r, "content_delta")
-                comments = self._materialize(comments, r, "comments_delta")
-                creators = self._materialize(creators, r, "creators_delta")
-                metrics = self._materialize(metrics, r, "metrics_delta")
-                denied = self._materialize(denied, r, "denied_delta")
-            else:
-                content = content.localCheckpoint(eager=True)
-                comments = comments.localCheckpoint(eager=True)
-                creators = creators.localCheckpoint(eager=True)
-                metrics = metrics.localCheckpoint(eager=True)
-                denied = denied.localCheckpoint(eager=True)
+            content = self._materialize(content, r, "content_delta")
+            comments = self._materialize(comments, r, "comments_delta")
+            creators = self._materialize(creators, r, "creators_delta")
+            metrics = self._materialize(metrics, r, "metrics_delta")
+            denied = self._materialize(denied, r, "denied_delta")
             t1 = time.time()
             frontier = self._materialize(frontier_next, r, "frontier")
             t_frontier = time.time() - t1
@@ -584,6 +608,10 @@ class CrawlEngine:
     def clear_checkpoint(self):
         if self.ckpt and os.path.isdir(self.ckpt):
             shutil.rmtree(self.ckpt)
+
+    def clear_scratch(self):
+        if getattr(self, "_scratch", None) and os.path.isdir(self._scratch):
+            shutil.rmtree(self._scratch)
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:

@@ -547,6 +547,21 @@ def q_crawl_slice(spark, sf):  # §3.2 minimum slice — 2-round detail crawl
     return res.content
 
 
+def q_crawl_search_slice(spark, sf):  # §3.1 flagship — search → notes → creators
+    from pyspark.sql import functions as F
+    from mediacrawler_spark import synth
+    from mediacrawler_spark.plans.crawl import CrawlEngine
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 200)
+    pages = synth.build_pages(spark, None, documents=docs)
+    eng = CrawlEngine(
+        spark, pages, synth.build_robots(spark),
+        use_bloom=False, max_search_pages=1, crawl_creators=True,
+        max_comments_per_note=10,
+    )
+    res = eng.run(synth.build_search_seeds(spark, ["kw0", "kw2"]), max_rounds=4)
+    return res.content
+
+
 # ---------------------------------------------------------------------------
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
@@ -582,4 +597,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features": (q_multimodal_features, None),
     "extract_kernel": (q_extract_kernel, None),
     "crawl_slice": (q_crawl_slice, None),
+    "crawl_search_slice": (q_crawl_search_slice, None),
 }

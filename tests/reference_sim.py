@@ -52,7 +52,8 @@ ORDER = lambda f: (  # noqa: E731 — engine scheduler ORDER_COLS
 
 
 def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True,
-             max_attempts=3, crawl_creators=False, max_search_pages=None) -> SimResult:
+             max_attempts=3, crawl_creators=False, max_search_pages=None,
+             max_comments_per_note=None, comment_page_size=10) -> SimResult:
     pages = {r["url"]: r for r in pages_rows}
     robots = {r["host"]: r for r in robots_rows}
     res = SimResult()
@@ -148,9 +149,13 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
             else:
                 doc = json.loads(body)
                 target = f["url"].split("/")[-1].split("?")[0]
+                mc, ps = max_comments_per_note, comment_page_size
                 for idx, c in enumerate(doc["comments"]):
                     note = target if kind == "comments" else re.match(r"^(.*?)c\d+$", target).group(1)
                     parent = target if kind == "subcomments" else None
+                    pos = f["cursor_seq"] * ps + idx
+                    if kind == "comments" and mc is not None and pos >= mc:
+                        continue  # W1 budget trim (xhs/client.py:355-356)
                     res.comments.add((c["id"], note, parent, f["cursor_seq"], idx))
                     if enable_sub and kind == "comments" and c["sub_comment_count"] > 0:
                         discovered.append(dict(
@@ -159,7 +164,10 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                             keyword=f["keyword"], page=f["page"], item_idx=idx,
                             cursor_seq=0, attempts=0, not_before=rnd + 1,
                         ))
-                if doc["has_more"]:
+                more_ok = doc["has_more"] and not (
+                    kind == "comments" and mc is not None and (f["cursor_seq"] + 1) * ps >= mc
+                )
+                if more_ok:
                     discovered.append(dict(
                         url=f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={doc['cursor']}",
                         host=f["host"], priority=f["priority"], depth=f["depth"],
