@@ -208,6 +208,10 @@ class CrawlEngine:
     def _materialize(self, df: DataFrame, round_id: int, name: str) -> DataFrame:
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", name)
+        # small rounds: cap file count (32-partition writes of 100-row
+        # deltas cost more in file overhead than they gain in parallelism)
+        if getattr(self, "_small_round", False):
+            df = df.coalesce(4)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
@@ -240,6 +244,7 @@ class CrawlEngine:
         # each is computed once (unpersisted by run() after checkpointing).
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
+        self._small_round = n_scheduled < 20_000
         # Fetch-join (J1) — see fetch_join in __init__.
         if self.fetch_join == "colocated" or (
             self.fetch_join == "auto" and n_scheduled > self.broadcast_threshold
