@@ -110,8 +110,21 @@ def url_param_col(c: Column, param: str) -> Column:
 
 # ---------------------------------------------------------------------------
 # E16 — cookie string ↔ map (tools/crawler_util.py:135-160); boundary only.
+# Reference semantics (convert_str_cookie_to_dict): split on ';', strip each
+# entry, keep only entries that split into exactly (name, value) — so this
+# parses both reference-format strings (';'-joined, convert_cookies:138) and
+# map_to_cookie_col's own output.
 def cookie_to_map_col(c: Column) -> Column:
-    return F.str_to_map(c, F.lit("; "), F.lit("="))
+    parts = F.transform(F.split(c, ";"), lambda e: F.split(F.trim(e), "="))
+    valid = F.filter(parts, lambda p: F.size(p) == 2)
+    return F.map_from_entries(
+        F.transform(
+            valid,
+            lambda p: F.struct(
+                F.element_at(p, 1).alias("key"), F.element_at(p, 2).alias("value")
+            ),
+        )
+    )
 
 
 def map_to_cookie_col(c: Column) -> Column:
@@ -126,3 +139,38 @@ def map_to_cookie_col(c: Column) -> Column:
 # the engine keeps true arrays internally; `concat_ws(",")` only at the edge.
 def array_to_csv_col(c: Column) -> Column:
     return F.concat_ws(",", c)
+
+
+# ---------------------------------------------------------------------------
+# E15 — map/struct→JSON-string store boundary (store/xhs/__init__.py:206-207:
+# `json.dumps({tagType: name ...}, ensure_ascii=False)`). Spark's `to_json`
+# emits the same compact `{"k":"v"}` form with non-ASCII preserved.
+def map_to_json_col(c: Column) -> Column:
+    return F.to_json(c)
+
+
+# ---------------------------------------------------------------------------
+# E20 — CDN URL builders (media_platform/xhs/help.py:274-291). The engine
+# keeps the deterministic variants: `get_trace_id` (spectrum-path special
+# case) and the all-CDNs `get_img_urls_by_trace_id`; the `random.choice`
+# single-CDN variant is nondeterministic by design and excluded.
+XHS_IMG_CDNS = [
+    "https://sns-img-qc.xhscdn.com",
+    "https://sns-img-hw.xhscdn.com",
+    "https://sns-img-bd.xhscdn.com",
+    "https://sns-img-qn.xhscdn.com",
+]
+
+
+def trace_id_col(img_url: Column) -> Column:
+    last = F.element_at(F.split(img_url, "/"), -1)
+    return F.when(
+        img_url.contains("spectrum"), F.concat(F.lit("spectrum/"), last)
+    ).otherwise(last)
+
+
+def img_urls_by_trace_id_col(trace_id: Column, format_type: str = "png") -> Column:
+    return F.array(*[
+        F.concat(F.lit(cdn + "/"), trace_id, F.lit(f"?imageView2/format/{format_type}"))
+        for cdn in XHS_IMG_CDNS
+    ])

@@ -90,9 +90,18 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3
+    documents: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
+    max_band_bucket: int | None = 64,
 ) -> DataFrame:
-    """Docs sharing any LSH band → candidate (a,b) pairs, a<b, distinct."""
+    """Docs sharing any LSH band → candidate (a,b) pairs, a<b, distinct.
+
+    ``max_band_bucket`` is the standard frequency cutoff: a band key shared
+    by k docs yields k² pair rows in the self-join, and degenerate keys
+    (near-empty docs, boilerplate) can hold millions of docs at corpus
+    scale. Keys above the cutoff are DROPPED before the self-join — an
+    explicit recall/robustness trade (docs in a dropped bucket usually
+    share several other, selective bands). Pass ``None`` to disable.
+    """
     sigs = minhash_signatures(documents, n_hashes, shingle_n)
     n_bands = n_hashes // band_size
     bands = sigs.select(
@@ -107,6 +116,14 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_bucket is not None:
+        ok = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_band_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(ok, on=["band", "key"], how="left_semi")
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -136,16 +153,60 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_hashed(
+    documents: DataFrame, pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Scale-path exact-Jaccard verify: shingles hashed to int64 before the
+    pair join, and shingle sets computed ONLY for docs that appear in a
+    candidate pair (semi-join prefilter).
+
+    The string variant (``jaccard_verify``) ships full string-array shingle
+    sets through the join — ~20+ bytes/shingle both ways; this ships 8
+    bytes/shingle and only for candidate docs. Jaccard over distinct
+    xxhash64 values equals Jaccard over the shingles themselves up to
+    vanishing 64-bit collisions. Kept separate because the md5/string
+    variant is the DuckDB-oracle-reproducible one (``jaccard_pairs``)."""
+    needed = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        documents.join(needed, on="doc_id", how="left_semi")
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_col(F.col("text"), shingle_n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "doc_a", "doc_b",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias("jaccard"),
+    )
+
+
 def minhash_near_dups(
     documents: DataFrame,
     threshold: float = 0.8,
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_band_bucket: int | None = 64,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    pairs = lsh_candidate_pairs(documents, n_hashes, band_size, shingle_n)
-    return jaccard_verify(documents, pairs, shingle_n).filter(
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    Uses the hashed verify kernel (int64 shingles, candidate-doc semi-join)
+    — the 100 TB shape; round-1 bench showed the string verify join was the
+    single most expensive query at sf0.1."""
+    pairs = lsh_candidate_pairs(documents, n_hashes, band_size, shingle_n, max_band_bucket)
+    return jaccard_verify_hashed(documents, pairs, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
 

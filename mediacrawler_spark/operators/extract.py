@@ -58,13 +58,55 @@ def classify_url_col(url: Column) -> Column:
         F.when(url.contains("/api/subcomments/"), F.lit("subcomments"))
         .when(url.contains("/api/comments/"), F.lit("comments"))
         .when(url.contains("/search/"), F.lit("search"))
+        .when(url.contains("/posts"), F.lit("creator_posts"))
+        .when(url.contains("/fans"), F.lit("fans"))
+        .when(url.contains("/followings"), F.lit("followings"))
+        .when(url.contains("/dynamics"), F.lit("dynamics"))
         .when(url.contains("/user/"), F.lit("creator"))
         .otherwise(F.lit("content"))
     )
 
 
-SEARCH_PAGE_DDL = "has_more boolean, note_urls array<string>"
+SEARCH_PAGE_DDL = "has_more boolean, session_id string, note_urls array<string>"
 CREATOR_DDL = "user_id string, nickname string, gender int, follows string, fans string"
+# S14/J4 — creator-posts cursor pages (reference get_notes_by_creator,
+# media_platform/xhs/client.py:448-519: cursor + has_more + notes list).
+CREATOR_POSTS_DDL = "has_more boolean, cursor string, note_urls array<string>"
+# S15/J5 — fans/followings relation pages (bilibili/client.py:394-440:
+# paged `list` of {mid, uname}; has_more stands in for the reference's
+# stop-on-empty-page probe).
+CONTACT_PAGE_DDL = "has_more boolean, users array<struct<id:string,name:string>>"
+# S16 — dynamics offset pages (bilibili/client.py:487-546: items + has_more
+# + offset; per-item fields per store/bilibili/__init__.py:165-183).
+DYNAMICS_DDL = (
+    "has_more boolean, offset string, "
+    "items array<struct<id:string,text:string,type:string,pub_ts:long,"
+    "comment_count:int,like_count:int>>"
+)
+
+
+# S2/S3/S7 — per-platform search-pagination math: the cursor string the
+# reference's client would send for page N of a keyword search. Carried on
+# frontier rows (the `cursor` column) so the engine's crawl state holds
+# reference-identical cursor values; the sequential simulator computes the
+# same strings and the equivalence test asserts string equality.
+#   douyin   offset=(page-1)*10            (douyin/core.py:126)
+#   kuaishou page + searchSessionId carry  (kuaishou/core.py:155-156)
+#   zhihu    offset=(page-1)*20            (zhihu/client.py:193)
+#   tieba    pn=(page-1)*10                (tieba/client.py search paging)
+#   xhs/weibo/bilibili: plain page number
+def search_cursor_col(platform: Column, page: Column, session_id: Column) -> Column:
+    pg = page.cast("string")
+    return (
+        F.when(platform == "douyin", F.concat(F.lit("offset="), ((page - 1) * 10).cast("string")))
+        .when(
+            platform == "kuaishou",
+            F.concat(F.lit("page="), pg, F.lit("&searchSessionId="), F.coalesce(session_id, F.lit(""))),
+        )
+        .when(platform == "zhihu", F.concat(F.lit("offset="), ((page - 1) * 20).cast("string")))
+        .when(platform == "tieba", F.concat(F.lit("pn="), ((page - 1) * 10).cast("string")))
+        .otherwise(F.concat(F.lit("page="), pg))
+    )
 
 
 def extract_search_pages(pages: DataFrame) -> DataFrame:
@@ -143,12 +185,28 @@ def _html_unescape(c: Column) -> Column:
     return c
 
 
-_ZHIHU_DDL = (
-    "initialState struct<entities struct<answers map<string, struct<"
+_ZHIHU_ENTITY = (
+    "map<string, struct<"
     "note_id string, title string, desc string, "
     "user struct<userId:string, nickname:string>, "
-    "interactInfo struct<likedCount:string>, time long, videoUrl string>>>>"
+    "interactInfo struct<likedCount:string>, time long, videoUrl string>>"
 )
+
+# S12: the js-initialData blob keys its entity map by content type —
+# answers / articles / zvideos (zhihu/help.py:364-445); judge_zhihu_url
+# picks the branch from the URL shape (help.py:448-467). The engine takes
+# whichever map is present (exactly one per content page).
+_ZHIHU_DDL = (
+    "initialState struct<entities struct<"
+    f"answers {_ZHIHU_ENTITY}, articles {_ZHIHU_ENTITY}, zvideos {_ZHIHU_ENTITY}>>"
+)
+
+
+def _zhihu_state_col(raw: Column) -> Column:
+    ents = F.from_json(raw, _ZHIHU_DDL)["initialState"]["entities"]
+    return F.element_at(
+        F.map_values(F.coalesce(ents["answers"], ents["articles"], ents["zvideos"])), 1
+    )
 
 _TIEBA_DDL = "author struct<user_id:string, user_name:string>"
 
@@ -170,9 +228,7 @@ def _content_cols() -> list:
     plat = platform_col(F.col("host"))
     raw = _state_json_col(html_str, plat)
     state = F.from_json(raw, STATE_DDL)
-    zhihu_state = F.element_at(
-        F.map_values(F.from_json(raw, _ZHIHU_DDL)["initialState"]["entities"]["answers"]), 1
-    )
+    zhihu_state = _zhihu_state_col(raw)
     tieba_state = F.from_json(raw, _TIEBA_DDL)
 
     note_id = F.element_at(F.split(F.element_at(F.split(F.col("url"), r"\?"), 1), "/"), -1)
@@ -248,6 +304,142 @@ def extract_comment_pages(pages: DataFrame) -> DataFrame:
         "_page", F.from_json(F.decode(F.col("html"), "UTF-8"), COMMENT_PAGE_DDL)
     )
     return parsed.select(*stage1).select(*stage2)
+
+
+# ---------------------------------------------------------------------------
+# One-pass round parse (the 100 TB hot path).
+#
+# The round's fetch-join output feeds several consumers (content rows,
+# comment explosion, search/posts fan-out, creator fields, metrics). Caching
+# the *fetched page* for those consumers retains the multi-KB html binary in
+# executor memory and decodes every page up to four times. ``parse_round``
+# instead decodes each page ONCE, immediately after the fetch-join, into a
+# narrow per-kind struct row (all frontier lineage carried along, so no
+# self-joins back to the scheduled batch either); only that narrow frame is
+# persisted. Branches are guarded by ``kind`` (CaseWhen evaluates lazily per
+# row) and the single ``decode(html)`` is shared across branches by
+# whole-stage-codegen subexpression elimination.
+
+_PARSE_COLS: list | None = None
+
+
+def _parse_cols() -> list:
+    global _PARSE_COLS
+    if _PARSE_COLS is not None:
+        return _PARSE_COLS
+    from mediacrawler_spark.functions.text import gender_col
+
+    url = F.col("url")
+    kind = classify_url_col(url)
+    html_str = F.decode(F.col("html"), "UTF-8")
+    plat = platform_col(F.col("host"))
+
+    # --- content branch (P1 + E2–E5 state-blob extraction) ---
+    raw = _state_json_col(html_str, plat)
+    state = F.from_json(raw, STATE_DDL)
+    zhihu_state = _zhihu_state_col(raw)
+    tieba_state = F.from_json(raw, _TIEBA_DDL)
+    note_id_from_url = F.element_at(F.split(F.element_at(F.split(url, r"\?"), 1), "/"), -1)
+    eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
+    content_struct = F.struct(
+        F.coalesce(eff["note_id"], note_id_from_url).alias("note_id"),
+        eff["title"].alias("title"),
+        eff["desc"].alias("desc"),
+        F.when(plat == "tieba", tieba_state["author"]["user_id"])
+        .otherwise(eff["user"]["userId"]).alias("user_id"),
+        F.when(plat == "tieba", tieba_state["author"]["user_name"])
+        .otherwise(eff["user"]["nickname"]).alias("nickname"),
+        eff["interactInfo"]["likedCount"].alias("liked_count"),
+        eff["time"].alias("time"),
+    )
+    n_com = F.nullif(F.regexp_extract(html_str, r"comments:(\d+)", 1), F.lit("")).cast("int")
+
+    # --- comment cursor branch (J2/J3) ---
+    cp = F.from_json(html_str, COMMENT_PAGE_DDL)
+    cpage_struct = F.struct(
+        F.regexp_extract(url, r"/api/(?:sub)?comments/([^?]+)", 1).alias("target_id"),
+        cp["has_more"].alias("has_more"),
+        cp["cursor"].alias("next_cursor"),
+        cp["comments"].alias("comments"),
+    )
+
+    # --- search branch (S1–S7) ---
+    sp = F.from_json(html_str, SEARCH_PAGE_DDL)
+    spage_struct = F.struct(
+        F.regexp_extract(url, r"/search/([^?]+)", 1).alias("search_kw"),
+        F.regexp_extract(url, r"page=(\d+)", 1).cast("int").alias("search_page"),
+        sp["has_more"].alias("has_more"),
+        sp["session_id"].alias("session_id"),
+        sp["note_urls"].alias("note_urls"),
+    )
+
+    # --- creator profile branch (S13 + E13 per-platform gender maps) ---
+    cr = F.from_json(html_str, CREATOR_DDL)
+    gender = (
+        F.when(plat == "zhihu", gender_col(cr["gender"], "zhihu"))
+        .otherwise(gender_col(cr["gender"], "xhs"))
+    )
+    creator_struct = F.struct(
+        cr["user_id"].alias("user_id"),
+        cr["nickname"].alias("nickname"),
+        gender.alias("gender"),
+        cr["follows"].alias("follows"),
+        cr["fans"].alias("fans"),
+    )
+
+    # --- creator-posts cursor branch (S14/J4) ---
+    pp = F.from_json(html_str, CREATOR_POSTS_DDL)
+    target_uid = F.regexp_extract(url, r"/user/([^/?]+)", 1)
+    ppage_struct = F.struct(
+        target_uid.alias("target_uid"),
+        pp["has_more"].alias("has_more"),
+        pp["cursor"].alias("next_cursor"),
+        pp["note_urls"].alias("note_urls"),
+    )
+
+    # --- fans/followings relation branch (S15/J5) ---
+    fp = F.from_json(html_str, CONTACT_PAGE_DDL)
+    fpage_struct = F.struct(
+        target_uid.alias("target_uid"),
+        fp["has_more"].alias("has_more"),
+        fp["users"].alias("users"),
+    )
+
+    # --- dynamics offset branch (S16) ---
+    dp = F.from_json(html_str, DYNAMICS_DDL)
+    dpage_struct = F.struct(
+        target_uid.alias("target_uid"),
+        dp["has_more"].alias("has_more"),
+        dp["offset"].alias("next_offset"),
+        dp["items"].alias("items"),
+    )
+
+    is_content = kind == "content"
+    _PARSE_COLS = [
+        url, F.col("host"), plat.alias("platform"), kind.alias("kind"),
+        F.col("priority"), F.col("depth"), F.col("keyword"), F.col("page"),
+        F.col("item_idx"), F.col("cursor_seq"),
+        F.when(is_content, F.col("text")).alias("text"),
+        F.when(is_content, n_com).alias("n_comments"),
+        F.when(is_content, content_struct).alias("content"),
+        F.when(kind.isin("comments", "subcomments"), cpage_struct).alias("cpage"),
+        F.when(kind == "search", spage_struct).alias("spage"),
+        F.when(kind == "creator", creator_struct).alias("creator"),
+        F.when(kind == "creator_posts", ppage_struct).alias("ppage"),
+        F.when(kind.isin("fans", "followings"), fpage_struct).alias("fpage"),
+        F.when(kind == "dynamics", dpage_struct).alias("dpage"),
+    ]
+    return _PARSE_COLS
+
+
+def parse_round(fetched: DataFrame) -> DataFrame:
+    """Fetched batch (pages ⋈ scheduled) → one narrow parsed row per URL.
+
+    Input needs url, host, html, text plus the frontier lineage columns
+    (priority, depth, keyword, page, item_idx, cursor_seq). The html binary
+    is decoded exactly once and DROPPED — the output is safe to persist.
+    """
+    return fetched.select(*_parse_cols())
 
 
 # ---------------------------------------------------------------------------

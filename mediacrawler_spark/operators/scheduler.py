@@ -32,10 +32,18 @@ _ORDER_ASC = None
 
 
 def _windows():
-    """Window specs + order list, built once (py4j round-trip economy)."""
+    """Window specs + order list, built once (py4j round-trip economy).
+
+    A null keyword sorts as '' (i.e. FIRST among strings) — the sequential
+    simulator maps None→'' in its ORDER key, and a budget truncation over a
+    host with mixed null/non-null keywords must pick the same winners on
+    both sides (engine≡sim equivalence)."""
     global _W1, _W2, _ORDER_ASC
     if _W1 is None:
-        _ORDER_ASC = [F.col(c).asc_nulls_last() for c in ORDER_COLS]
+        _ORDER_ASC = [
+            (F.coalesce(F.col(c), F.lit("")) if c == "keyword" else F.col(c)).asc_nulls_last()
+            for c in ORDER_COLS
+        ]
         _W1 = Window.partitionBy("host", "_salt").orderBy(*_ORDER_ASC)
         _W2 = Window.partitionBy("host").orderBy(*_ORDER_ASC)
     return _W1, _W2, _ORDER_ASC

@@ -130,11 +130,16 @@ def unseen_bloom_prefiltered(
     @pandas_udf("boolean")
     def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
         bitmaps, m, k, n_shards = b.value
-        h1v = h1.to_numpy().astype(np.uint64)
-        h2v = h2.to_numpy().astype(np.uint64)
+        h1s = h1.to_numpy().astype(np.int64)
+        h1v = h1s.view(np.uint64)
+        h2v = h2.to_numpy().astype(np.int64).view(np.uint64)
         if len(h1v) == 0:
             return pd.Series([], dtype=bool)
-        shards = (h1v % np.uint64(n_shards)).astype(np.int64)
+        # shard must match the BUILD side's JVM pmod(h1, n_shards) on the
+        # SIGNED long: numpy's % on int64 with a positive divisor is floored
+        # (non-negative), which equals pmod for every n_shards — the uint64
+        # remainder only agrees when n_shards is a power of two.
+        shards = h1s % np.int64(n_shards)
         pos = _positions(h1v, h2v, k, m)  # (n, k)
         out = np.ones(len(h1v), dtype=bool)
         for s in np.unique(shards):

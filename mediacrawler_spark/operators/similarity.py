@@ -72,10 +72,19 @@ def assign_ivf_buckets(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame
         "vec_id", "label", "embedding", "centroid_id",
         cosine_col(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
     )
-    best = scored.groupBy("vec_id").agg(
-        F.max_by("centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("tb"))).alias("bucket")
+    # argmax carries the row payload through the aggregate — one shuffle on
+    # vec_id, no join back to the embeddings table
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("centroid_id", "label", "embedding"),
+            F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("tb")),
+        ).alias("_b")
+    ).select(
+        "vec_id",
+        F.col("_b.label").alias("label"),
+        F.col("_b.embedding").alias("embedding"),
+        F.col("_b.centroid_id").alias("bucket"),
     )
-    return embeddings.join(best, on="vec_id")
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8) -> DataFrame:

@@ -2,7 +2,9 @@
 
 The reference's crawl "plan" is hard-coded sequential control flow — per
 keyword page loops, per-note comment cursor loops, per-comment sub-cursor
-loops (media_platform/xhs/core.py:116-169, client.py:325-428) — with all
+loops (media_platform/xhs/core.py:116-169, client.py:325-428), creator-posts
+cursor loops (xhs/client.py:473-519), and the bilibili fans/followings/
+dynamics walks (bilibili/client.py:394-546, core.py:553-657) — with all
 state in loop-local variables and politeness enforced by sleeps + a
 semaphore of 1 (config/base_config.py:77,109). The engine re-expresses that
 as **iterative DataFrame rounds** (SURVEY §3 lifecycle mapping):
@@ -10,13 +12,18 @@ as **iterative DataFrame rounds** (SURVEY §3 lifecycle mapping):
     round k:
       select   — robots gate + per-host politeness window + priority
                  (operators.scheduler; salted two-phase rank for hot hosts)
-      fetch    — broadcast fetch-join of the scheduled batch against the
-                 pages table (J1/S8: the scheduled side is small by
-                 construction — per-host budgets bound it — so it
-                 broadcasts; the 100 TB pages scan stays pruned to
-                 url/host/html/text columns)
-      extract  — native from_json/regexp extraction (operators.extract);
-                 content rows + comment rows + next-cursor emissions
+      fetch    — fetch-join of the scheduled batch against the pages table
+                 (J1/S8; broadcast below threshold, co-located bucketed
+                 equi-join above — the 100 TB pages scan stays pruned)
+      parse    — ONE extraction pass immediately after the fetch-join
+                 (operators.extract.parse_round): html decoded exactly once
+                 per page into a narrow per-kind struct row; only that
+                 narrow frame is cached — the html binary is never
+                 persisted and never re-read (the round-1 scale-killer).
+      expand   — content/comment/search/creator/posts/contact/dynamics
+                 rows + next-cursor frontier emissions, all from the
+                 parsed frame (frontier lineage rides along: no
+                 self-joins back to the scheduled batch)
       dedup    — Bloom-prefiltered exact anti-join vs seen (operators.seen)
       merge    — frontier' = leftover + retries + new URLs; seen' += fetched;
                  checkpoint everything, truncating lineage
@@ -25,12 +32,17 @@ Driver does orchestration only — every data operation is a distributed
 DataFrame op. State lives in checkpointed tables (parquet here; Iceberg
 MERGE on a cluster — same logical semantics), so the crawl **resumes** from
 the last completed round (north_rule; stronger than the reference, which
-only has store-time dedup + START_PAGE skip, SURVEY §2.10).
+only has store-time dedup + START_PAGE skip, SURVEY §2.10). All per-round
+output tables (content, comments, creators, contacts, dynamics, metrics,
+denied, failed) are multiplexed into ONE partitioned write per round —
+at small round sizes the per-table write jobs were the dominant fixed cost.
 
 Determinism: the crawl order is defined by explicit ordering-key columns
 (keyword, page, item_idx, cursor_seq — W4), never by partition iteration
-order; equivalence with a sequential reference-semantics simulator is
-asserted in tests/test_crawl_equivalence.py.
+order; within-round URL collisions resolve to the MIN ordering key; frontier
+rows carry the reference's per-platform cursor strings (S2/S3/S7 pagination
+math) in the ``cursor`` column. Equivalence with a sequential
+reference-semantics simulator is asserted in tests/test_crawl_equivalence.py.
 """
 
 from __future__ import annotations
@@ -42,6 +54,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from mediacrawler_spark.functions.text import url_note_id_col
 from mediacrawler_spark.operators import extract as X
@@ -55,7 +68,71 @@ _FRONTIER_COLS = [
     "not_before_round", "keyword", "page", "item_idx", "cursor_seq", "round_id",
 ]
 
+# Discovered-seed schema shared by every expansion path (cursor_val = the
+# reference-identical pagination cursor this URL would be requested with).
+_SEED_DDL = (
+    "url string, host string, priority int, depth int, keyword string, "
+    "page int, item_idx int, cursor_seq int, cursor_val string"
+)
+
+_FRONTIER_DDL = (
+    "url string, host string, priority int, depth int, state string, "
+    "cursor string, attempts int, not_before_round int, keyword string, "
+    "page int, item_idx int, cursor_seq int, round_id int"
+)
+
+# Round-output table schemas (used to reconstruct empty frames when a round
+# produced no rows for a table — the multiplexed write then has no subdir).
+DELTA_DDL = {
+    "content": (
+        "note_id string, url string, platform string, title string, desc string, "
+        "text string, user_id string, nickname string, liked_count string, time bigint, "
+        "source_keyword string, ord_keyword string, ord_page int, ord_item_idx int, "
+        "ord_cursor_seq int, round_id int"
+    ),
+    "comments": (
+        "comment_id string, note_id string, parent_comment_id string, content string, "
+        "create_time bigint, sub_comment_count int, ord_cursor_seq int, ord_item_idx int, "
+        "round_id int"
+    ),
+    "creators": (
+        "url string, host string, platform string, user_id string, nickname string, "
+        "gender string, follows string, fans string, round_id int"
+    ),
+    # J5 — the bilibili contact edge store keeps (up_id, fan_id) with
+    # swapped args for followings (store/bilibili/__init__.py:138-161).
+    "contacts": (
+        "up_id string, fan_id string, src_kind string, contact_name string, "
+        "ord_cursor_seq int, ord_item_idx int, round_id int"
+    ),
+    # S16 — dynamics rows (store/bilibili/__init__.py:164-183 field set).
+    "dynamics": (
+        "dynamic_id string, user_id string, text string, dynamic_type string, "
+        "pub_ts bigint, comment_count int, like_count int, ord_cursor_seq int, "
+        "ord_item_idx int, round_id int"
+    ),
+    "metrics": (
+        "round_id int, host string, scheduled bigint, fetched bigint, parsed bigint, "
+        "failed bigint, deduped bigint"
+    ),
+    "denied": _FRONTIER_DDL,
+    "failed": _FRONTIER_DDL,
+}
+
+_DELTA_ORDER = list(DELTA_DDL)
+
 _RC: dict | None = None
+
+
+def _seed_cols(url_col, host_col, priority, depth, keyword, page, item_idx,
+               cursor_seq, cursor_val):
+    return [
+        url_col.alias("url"), host_col.alias("host"),
+        priority.cast("int").alias("priority"), depth.cast("int").alias("depth"),
+        keyword.alias("keyword"), page.cast("int").alias("page"),
+        item_idx.cast("int").alias("item_idx"), cursor_seq.cast("int").alias("cursor_seq"),
+        cursor_val.cast("string").alias("cursor_val"),
+    ]
 
 
 def _round_cols() -> dict:
@@ -66,66 +143,169 @@ def _round_cols() -> dict:
     global _RC
     if _RC is not None:
         return _RC
+    c = F.col
     _RC = {
+        # content rows from parsed kind=='content' rows
         "content": [
-            F.col("note_id"), F.col("url"), F.col("platform"), F.col("title"),
-            F.col("desc"), F.col("text"), F.col("user_id"), F.col("nickname"),
-            F.col("liked_count"), F.col("time"),
-            F.col("keyword").alias("source_keyword"),
-            F.col("keyword").alias("ord_keyword"),
-            F.col("page").alias("ord_page"),
-            F.col("item_idx").alias("ord_item_idx"),
-            F.col("cursor_seq").alias("ord_cursor_seq"),
+            c("content.note_id").alias("note_id"), c("url"), c("platform"),
+            c("content.title").alias("title"), c("content.desc").alias("desc"),
+            c("text"),
+            c("content.user_id").alias("user_id"),
+            c("content.nickname").alias("nickname"),
+            c("content.liked_count").alias("liked_count"),
+            c("content.time").alias("time"),
+            c("keyword").alias("source_keyword"),
+            c("keyword").alias("ord_keyword"),
+            c("page").alias("ord_page"),
+            c("item_idx").alias("ord_item_idx"),
+            c("cursor_seq").alias("ord_cursor_seq"),
         ],
-        "comment_seed": [
-            F.concat(
-                F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
-                url_note_id_col(F.col("url")), F.lit("?cursor=0"),
-            ).alias("url"),
-            F.col("host"), F.col("priority"),
-            (F.col("depth") + 1).alias("depth"),
-            F.col("keyword"), F.col("page"), F.col("item_idx"),
-            F.lit(0).alias("cursor_seq"),
+        "comment_seed": _seed_cols(
+            F.concat(F.lit("https://"), c("host"), F.lit("/api/comments/"),
+                     url_note_id_col(c("url")), F.lit("?cursor=0")),
+            c("host"), c("priority"), c("depth") + 1, c("keyword"), c("page"),
+            c("item_idx"), F.lit(0), F.lit("0"),
+        ),
+        # comment-page explosion: stage1 keeps page-level cursor info +
+        # lineage, stage2 flattens the exploded comment struct
+        "cx_stage1": [
+            c("url"), c("host"), c("kind"),
+            c("cpage.target_id").alias("target_id"),
+            c("cpage.has_more").alias("has_more"),
+            c("cpage.next_cursor").alias("next_cursor"),
+            c("priority"), c("depth"), c("keyword"), c("page"),
+            c("item_idx").alias("f_item_idx"), c("cursor_seq"),
+            F.posexplode_outer(c("cpage.comments")).alias("item_idx", "cm"),
+        ],
+        "cx_stage2": [
+            c("url"), c("host"), c("kind"), c("target_id"), c("has_more"),
+            c("next_cursor"), c("priority"), c("depth"), c("keyword"), c("page"),
+            c("f_item_idx"), c("cursor_seq"), c("item_idx"),
+            c("cm.id").alias("comment_id"),
+            c("cm.content").alias("content"),
+            c("cm.create_time").alias("create_time"),
+            c("cm.sub_comment_count").alias("sub_comment_count"),
         ],
         "comments": [
-            F.col("comment_id"),
-            F.when(F.col("kind") == "comments", F.col("target_id"))
-            .otherwise(F.regexp_extract(F.col("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
-            F.when(F.col("kind") == "subcomments", F.col("target_id"))
+            c("comment_id"),
+            F.when(c("kind") == "comments", c("target_id"))
+            .otherwise(F.regexp_extract(c("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
+            F.when(c("kind") == "subcomments", c("target_id"))
             .otherwise(F.lit(None).cast("string")).alias("parent_comment_id"),
-            F.col("content"), F.col("create_time"), F.col("sub_comment_count"),
-            F.col("cursor_seq").alias("ord_cursor_seq"),
-            F.col("item_idx").alias("ord_item_idx"),
+            c("content"), c("create_time"), c("sub_comment_count"),
+            c("cursor_seq").alias("ord_cursor_seq"),
+            c("item_idx").alias("ord_item_idx"),
         ],
-        "next_cursor_seed": [
+        "next_cursor_seed": _seed_cols(
             F.concat(
-                F.lit("https://"), F.col("host"),
-                F.when(F.col("kind") == "comments", F.lit("/api/comments/"))
+                F.lit("https://"), c("host"),
+                F.when(c("kind") == "comments", F.lit("/api/comments/"))
                 .otherwise(F.lit("/api/subcomments/")),
-                F.col("target_id"), F.lit("?cursor="), F.col("next_cursor"),
-            ).alias("url"),
-            F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"), F.col("page"),
-            F.col("f_item_idx").alias("item_idx"),
-            (F.col("cursor_seq") + 1).alias("cursor_seq"),
+                c("cpage.target_id"), F.lit("?cursor="), c("cpage.next_cursor"),
+            ),
+            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
+            c("item_idx"), c("cursor_seq") + 1, c("cpage.next_cursor"),
+        ),
+        "sub_seed": _seed_cols(
+            F.concat(F.lit("https://"), c("host"), F.lit("/api/subcomments/"),
+                     c("comment_id"), F.lit("?cursor=0")),
+            c("host"), c("priority"), c("depth") + 1, c("keyword"), c("page"),
+            c("item_idx"), F.lit(0), F.lit("0"),
+        ),
+        # search listing explosion (S1–S7)
+        "sx": [
+            c("url"), c("host"), c("platform"), c("priority"), c("depth"),
+            c("keyword"),
+            c("spage.search_kw").alias("search_kw"),
+            c("spage.search_page").alias("search_page"),
+            c("spage.session_id").alias("session_id"),
+            F.posexplode_outer(c("spage.note_urls")).alias("sx_idx", "note_url"),
         ],
-        "sub_seed": [
-            F.concat(
-                F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
-                F.col("comment_id"), F.lit("?cursor=0"),
-            ).alias("url"),
-            F.col("host"), F.col("priority"),
-            (F.col("depth") + 1).alias("depth"),
-            F.col("keyword"), F.col("page"), F.col("item_idx"),
-            F.lit(0).alias("cursor_seq"),
+        "note_seed": _seed_cols(
+            c("note_url"), F.parse_url(c("note_url"), F.lit("HOST")),
+            c("priority"), c("depth") + 1, c("keyword"), c("search_page"),
+            c("sx_idx"), F.lit(0), F.lit(None),
+        ),
+        # creators (S13)
+        "creators": [
+            c("url"), c("host"), c("platform"),
+            c("creator.user_id").alias("user_id"),
+            c("creator.nickname").alias("nickname"),
+            c("creator.gender").alias("gender"),
+            c("creator.follows").alias("follows"),
+            c("creator.fans").alias("fans"),
         ],
+        # creator-posts explosion (S14/J4): note seeds inherit the posts
+        # page's cursor_seq so (keyword,page,item_idx,cursor_seq) stays a
+        # deterministic W4 key
+        "px": [
+            c("url"), c("host"), c("priority"), c("depth"), c("keyword"),
+            c("page"), c("cursor_seq"),
+            c("ppage.target_uid").alias("target_uid"),
+            F.posexplode_outer(c("ppage.note_urls")).alias("px_idx", "note_url"),
+        ],
+        "posts_note_seed": _seed_cols(
+            c("note_url"), F.parse_url(c("note_url"), F.lit("HOST")),
+            c("priority"), c("depth") + 1, c("keyword"), c("page"),
+            c("px_idx"), c("cursor_seq"), F.lit(None),
+        ),
+        "next_posts_seed": _seed_cols(
+            F.concat(F.lit("https://"), c("host"), F.lit("/user/"),
+                     c("ppage.target_uid"), F.lit("/posts?cursor="),
+                     c("ppage.next_cursor")),
+            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
+            c("item_idx"), c("cursor_seq") + 1, c("ppage.next_cursor"),
+        ),
+        # fans/followings explosion (S15/J5)
+        "fx": [
+            c("url"), c("host"), c("kind"), c("keyword"), c("page"),
+            c("cursor_seq"),
+            c("fpage.target_uid").alias("target_uid"),
+            F.posexplode_outer(c("fpage.users")).alias("fx_idx", "u"),
+        ],
+        # contact edge rows: fans page of U → (up=U, fan=item); followings
+        # page of U → (up=item, fan=U) — the reference's swapped-args store
+        # (store/bilibili/__init__.py:149-161)
+        "contacts": [
+            F.when(c("kind") == "fans", c("target_uid")).otherwise(c("u.id")).alias("up_id"),
+            F.when(c("kind") == "fans", c("u.id")).otherwise(c("target_uid")).alias("fan_id"),
+            c("kind").alias("src_kind"),
+            c("u.name").alias("contact_name"),
+            c("cursor_seq").alias("ord_cursor_seq"),
+            c("fx_idx").alias("ord_item_idx"),
+        ],
+        # dynamics explosion (S16)
+        "dx": [
+            c("url"), c("host"), c("keyword"), c("page"), c("cursor_seq"),
+            c("dpage.target_uid").alias("target_uid"),
+            F.posexplode_outer(c("dpage.items")).alias("dx_idx", "it"),
+        ],
+        "dynamics": [
+            c("it.id").alias("dynamic_id"),
+            c("target_uid").alias("user_id"),
+            c("it.text").alias("text"),
+            c("it.type").alias("dynamic_type"),
+            c("it.pub_ts").alias("pub_ts"),
+            c("it.comment_count").alias("comment_count"),
+            c("it.like_count").alias("like_count"),
+            c("cursor_seq").alias("ord_cursor_seq"),
+            c("dx_idx").alias("ord_item_idx"),
+        ],
+        "next_dynamics_seed": _seed_cols(
+            F.concat(F.lit("https://"), c("host"), F.lit("/user/"),
+                     c("dpage.target_uid"), F.lit("/dynamics?offset="),
+                     c("dpage.next_offset")),
+            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
+            c("item_idx"), c("cursor_seq") + 1, c("dpage.next_offset"),
+        ),
         "new_frontier": [
-            F.col("url"), F.col("host"),
-            F.col("priority").cast("int").alias("priority"),
-            F.col("depth").cast("int").alias("depth"),
+            c("url"), c("host"),
+            c("priority").cast("int").alias("priority"),
+            c("depth").cast("int").alias("depth"),
             F.lit("open").alias("state"),
-            F.lit(None).cast("string").alias("cursor"),
+            c("cursor_val").cast("string").alias("cursor"),
             F.lit(0).alias("attempts"),
-            F.col("keyword"), F.col("page"), F.col("item_idx"), F.col("cursor_seq"),
+            c("keyword"), c("page"), c("item_idx"), c("cursor_seq"),
         ],
     }
     return _RC
@@ -136,10 +316,13 @@ class CrawlResult:
     content: DataFrame
     comments: DataFrame
     creators: DataFrame
+    contacts: DataFrame
+    dynamics: DataFrame
     seen: DataFrame
     frontier: DataFrame
     metrics: DataFrame
     denied: DataFrame
+    failed: DataFrame
     rounds: int
 
 
@@ -155,6 +338,14 @@ class CrawlEngine:
         comment_page_size: int = 10,
         max_search_pages: int | None = None,  # O3 page budget (CRAWLER_MAX_NOTES_COUNT/page_size)
         crawl_creators: bool = False,  # §3.3 creator mode: fetch author profiles
+        crawl_creator_posts: bool = False,  # S14/J4: walk creators' posts cursor
+        max_creator_posts: int | None = None,  # CRAWLER_MAX_NOTES_COUNT analog (xhs/client.py:492)
+        posts_page_size: int = 10,
+        crawl_contacts: bool = False,  # S15/S16/J5: bilibili fans/followings/dynamics
+        max_contacts: int | None = None,  # CRAWLER_MAX_CONTACTS_COUNT_SINGLENOTES
+        contacts_page_size: int = 10,
+        max_dynamics: int | None = None,  # CRAWLER_MAX_DYNAMICS_COUNT_SINGLENOTES
+        dynamics_page_size: int = 10,
         use_bloom: bool = True,
         bloom_min_seen: int = 20_000,
         bloom_capacity_per_shard: int = 500_000,
@@ -173,6 +364,14 @@ class CrawlEngine:
         self.comment_page_size = comment_page_size
         self.max_search_pages = max_search_pages
         self.crawl_creators = crawl_creators
+        self.crawl_creator_posts = crawl_creator_posts
+        self.max_creator_posts = max_creator_posts
+        self.posts_page_size = posts_page_size
+        self.crawl_contacts = crawl_contacts
+        self.max_contacts = max_contacts
+        self.contacts_page_size = contacts_page_size
+        self.max_dynamics = max_dynamics
+        self.dynamics_page_size = dynamics_page_size
         self.use_bloom = use_bloom
         # The Bloom prefilter is maintained *incrementally* (north_rule):
         # round r's filter = filter(r-1) OR build(delta_r) — never rebuilt
@@ -215,6 +414,49 @@ class CrawlEngine:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def _empty(self, ddl: str) -> DataFrame:
+        return self.spark.createDataFrame([], ddl)
+
+    def _empty_seeds(self) -> DataFrame:
+        return self._empty(_SEED_DDL)
+
+    # -- multiplexed round-output write -------------------------------------
+    # All eight output tables of a round go out in ONE partitioned write
+    # (partitionBy does not shuffle — each task appends to its tbl=... dir).
+    # At small round sizes the eight separate write *jobs* were the dominant
+    # per-round fixed cost; at large rounds this is the same bytes either
+    # way. Read-back is per-subdir; a table with zero rows (no subdir) is
+    # reconstructed empty from DELTA_DDL.
+    def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
+        base = self.ckpt or self._scratch
+        path = os.path.join(base, f"round={round_id:05d}", "deltas")
+        all_fields: dict[str, object] = {}
+        for name in _DELTA_ORDER:
+            for f in tables[name].schema.fields:
+                all_fields.setdefault(f.name, f.dataType)
+        parts = []
+        for name in _DELTA_ORDER:
+            df = tables[name]
+            have = set(df.columns)
+            cols = [
+                F.col(cn) if cn in have else F.lit(None).cast(dt).alias(cn)
+                for cn, dt in all_fields.items()
+            ]
+            parts.append(df.select(*cols).withColumn("tbl", F.lit(name)))
+        mux = _union_all(parts)
+        if getattr(self, "_small_round", False):
+            mux = mux.coalesce(4)
+        mux.write.mode("overwrite").partitionBy("tbl").parquet(path)
+        return {name: self._read_delta(round_id, name) for name in _DELTA_ORDER}
+
+    def _read_delta(self, round_id: int, name: str) -> DataFrame:
+        base = self.ckpt or self._scratch
+        sub = os.path.join(base, f"round={round_id:05d}", "deltas", f"tbl={name}")
+        schema = StructType.fromDDL(DELTA_DDL[name])
+        if not os.path.isdir(sub):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(sub).select(*[f.name for f in schema.fields])
+
     # -- seeding -----------------------------------------------------------
     def seed_frontier(self, seeds: DataFrame) -> DataFrame:
         return seeds.select(
@@ -239,9 +481,11 @@ class CrawlEngine:
             frontier, self.robots, round_id, self.n_salts, self.global_limit
         )
         # The round's two expensive intermediates — the politeness-window
-        # selection and the fetch-join — feed several outputs (content,
-        # comments, seen, frontier, metrics); cache them for the round so
-        # each is computed once (unpersisted by run() after checkpointing).
+        # selection and the parsed fetch output — feed several consumers
+        # (content, comments, seeds, seen, frontier, metrics); cache them
+        # for the round (unpersisted by run() after checkpointing). The
+        # parsed frame is NARROW: html is decoded once in parse_round and
+        # never cached.
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
         self._small_round = n_scheduled < 20_000
@@ -252,42 +496,25 @@ class CrawlEngine:
             probe = scheduled
         else:
             probe = F.broadcast(scheduled)
-        fetched = self.pages.join(probe, on="url", how="inner").persist()
-        self._round_cache = [scheduled, fetched]
-        misses = scheduled.join(fetched.select("url"), on="url", how="left_anti")
-
-        kind = X.classify_url_col(F.col("url"))
-        fetched = fetched.withColumn("kind", kind)
+        fetched = self.pages.join(probe, on="url", how="inner")
+        parsed = X.parse_round(fetched).persist()
+        self._round_cache = [scheduled, parsed]
+        misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 
         rc = _round_cols()
-        # --- content extraction (P1 + E2–E5) ---
-        content_pages = fetched.filter(F.col("kind") == "content")
-        content = X.extract_content(content_pages).join(
-            content_pages.select("url", "keyword", "page", "item_idx", "cursor_seq"),
-            on="url",
-        ).select(*rc["content"]).withColumn("round_id", F.lit(round_id))
+        kind = F.col("kind")
 
+        # --- content (P1 + E2–E5) ---
+        content_rows = parsed.filter(kind == "content")
+        content = content_rows.select(*rc["content"]).withColumn("round_id", F.lit(round_id))
         # comment-count discovery from the page body → seed first cursor page
-        n_com = F.regexp_extract(F.decode(F.col("html"), "UTF-8"), r"comments:(\d+)", 1)
-        comment_seeds = (
-            content_pages.withColumn("_n", F.nullif(n_com, F.lit("")).cast("int"))
-            .filter(F.col("_n") > 0)
-            .select(*rc["comment_seed"])
-        )
+        comment_seeds = content_rows.filter(F.col("n_comments") > 0).select(*rc["comment_seed"])
 
-        # --- comment extraction (J2/J3) ---
-        comment_pages = fetched.filter(F.col("kind").isin("comments", "subcomments"))
-        # item_idx from extraction = comment position on the page (W4 key);
-        # f_item_idx = the frontier row's inherited position.
-        cx = X.extract_comment_pages(
-            comment_pages.select("url", "host", "html")
-        ).join(
-            comment_pages.select(
-                "url", "priority", "depth", "keyword", "page",
-                F.col("item_idx").alias("f_item_idx"), "cursor_seq",
-            ),
-            on="url",
-        )
+        # --- comment expansion (J2/J3) ---
+        cbase = parsed.filter(kind.isin("comments", "subcomments"))
+        # item_idx from the explosion = comment position on the page (W4
+        # key); f_item_idx = the frontier row's inherited position.
+        cx = cbase.select(*rc["cx_stage1"]).select(*rc["cx_stage2"])
         comments = (
             cx.filter(F.col("comment_id").isNotNull())
             .select(*rc["comments"])
@@ -304,70 +531,49 @@ class CrawlEngine:
                 F.col("parent_comment_id").isNotNull() | (pos < mc)
             )
 
-        page_info = cx.select(
-            "url", "host", "kind", "target_id", "has_more", "next_cursor",
-            "priority", "depth", "keyword", "page", "f_item_idx", "cursor_seq",
-        ).dropDuplicates(["url"])
-        cursor_gate = F.col("has_more")
+        cursor_gate = F.col("cpage.has_more")
         sub_gate = (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
         if self.max_comments_per_note is not None:
             mc, ps = self.max_comments_per_note, self.comment_page_size
             # stop paging a note once the budget is reachable on fetched pages
             cursor_gate = cursor_gate & (
-                (F.col("kind") != "comments") | ((F.col("cursor_seq") + 1) * ps < mc)
+                (kind != "comments") | ((F.col("cursor_seq") + 1) * ps < mc)
             )
             # comments past the budget don't expand their sub-threads either
             sub_gate = sub_gate & (F.col("cursor_seq") * ps + F.col("item_idx") < mc)
-        next_cursor_seeds = page_info.filter(cursor_gate).select(*rc["next_cursor_seed"])
+        next_cursor_seeds = cbase.filter(cursor_gate).select(*rc["next_cursor_seed"])
         sub_seeds = (
             cx.filter(sub_gate).select(*rc["sub_seed"])
             if self.enable_sub_comments
-            else self.spark.createDataFrame(
-                [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
-            )
+            else self._empty_seeds()
         )
 
         # --- search-page expansion (S1–S7: keyword page loop → J1 fan-out) ---
-        search_pages = fetched.filter(F.col("kind") == "search")
-        sx = X.extract_search_pages(search_pages.select("url", "host", "html")).join(
-            search_pages.select("url", "priority", "depth", "keyword"), on="url"
-        )
-        note_seeds = sx.filter(F.col("note_url").isNotNull()).select(
-            F.col("note_url").alias("url"),
-            F.parse_url(F.col("note_url"), F.lit("HOST")).alias("host"),
-            "priority",
-            (F.col("depth") + 1).alias("depth"),
-            "keyword",
-            F.col("search_page").alias("page"),
-            "item_idx",
-            F.lit(0).alias("cursor_seq"),
-        )
-        next_search_gate = F.col("has_more") & (
+        sbase = parsed.filter(kind == "search")
+        sx = sbase.select(*rc["sx"])
+        note_seeds = sx.filter(F.col("note_url").isNotNull()).select(*rc["note_seed"])
+        next_search_gate = F.col("spage.has_more") & (
             F.lit(True)
             if self.max_search_pages is None
-            else (F.col("search_page") + 1 <= F.lit(self.max_search_pages))
+            else (F.col("spage.search_page") + 1 <= F.lit(self.max_search_pages))
         )
-        next_search_seeds = (
-            sx.dropDuplicates(["url"])
-            .filter(next_search_gate)
-            .select(
-                F.concat(
-                    F.lit("https://"), F.col("host"), F.lit("/search/"),
-                    F.col("search_kw"), F.lit("?page="),
-                    (F.col("search_page") + 1).cast("string"),
-                ).alias("url"),
-                "host", "priority", "depth", "keyword",
-                (F.col("search_page") + 1).alias("page"),
-                F.lit(0).alias("item_idx"),
-                F.lit(0).alias("cursor_seq"),
+        next_pg = F.col("spage.search_page") + 1
+        next_search_seeds = sbase.filter(next_search_gate).select(
+            *_seed_cols(
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/search/"),
+                         F.col("spage.search_kw"), F.lit("?page="), next_pg.cast("string")),
+                F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"),
+                next_pg, F.lit(0), F.lit(0),
+                # S2/S3/S7 pagination math: the reference-identical cursor
+                # string for the next page (kuaishou carries the session id
+                # returned by this page's response, kuaishou/core.py:155)
+                X.search_cursor_col(F.col("platform"), next_pg, F.col("spage.session_id")),
             )
         )
 
         # --- creator profiles (S13, §3.3 creator mode) ---
-        creator_pages = fetched.filter(F.col("kind") == "creator")
-        creators = X.extract_creators(
-            creator_pages.select("url", "host", "html")
-        ).withColumn("round_id", F.lit(round_id))
+        crbase = parsed.filter(kind == "creator")
+        creators = crbase.select(*rc["creators"]).withColumn("round_id", F.lit(round_id))
         if self.crawl_creators:
             # same author on many notes → one seed; the winner's ordering
             # metadata is the MIN (keyword,page,item_idx) — deterministic,
@@ -391,26 +597,159 @@ class CrawlEngine:
                     ).alias("_o")
                 )
                 .select(
-                    "url", "host",
-                    F.lit(0).alias("priority"),
-                    F.lit(0).alias("depth"),
-                    F.col("_o.keyword").alias("keyword"),
-                    F.col("_o.page").alias("page"),
-                    F.col("_o.item_idx").alias("item_idx"),
-                    F.lit(0).alias("cursor_seq"),
+                    *_seed_cols(
+                        F.col("url"), F.col("host"), F.lit(0), F.lit(0),
+                        F.col("_o.keyword"), F.col("_o.page"), F.col("_o.item_idx"),
+                        F.lit(0), F.lit(None),
+                    )
                 )
             )
         else:
-            creator_seeds = self.spark.createDataFrame(
-                [], "url string, host string, priority int, depth int, keyword string, page int, item_idx int, cursor_seq int"
+            creator_seeds = self._empty_seeds()
+
+        # --- creator-posts cursor walk (S14/J4) ---
+        # Creator profile pages seed the posts cursor (reference: creator
+        # mode fetches the profile then walks get_all_notes_by_creator,
+        # xhs/core.py get_creators_and_notes → client.py:473-519). The
+        # reference's initial cursor is "" — the synth corpus addresses
+        # page 0 as cursor=0.
+        if self.crawl_creator_posts:
+            uid = F.regexp_extract(F.col("url"), r"/user/([^/?]+)", 1)
+            posts_seed0 = crbase.select(
+                *_seed_cols(
+                    F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
+                             uid, F.lit("/posts?cursor=0")),
+                    F.col("host"), F.col("priority"), F.col("depth") + 1,
+                    F.col("keyword"), F.col("page"), F.col("item_idx"),
+                    F.lit(0), F.lit("0"),
+                )
             )
+            pbase = parsed.filter(kind == "creator_posts")
+            px = pbase.select(*rc["px"])
+            posts_note_seeds = px.filter(F.col("note_url").isNotNull()).select(
+                *rc["posts_note_seed"]
+            )
+            posts_gate = F.col("ppage.has_more")
+            if self.max_creator_posts is not None:
+                # CRAWLER_MAX_NOTES_COUNT analog: stop paging once the cap
+                # is reachable on fetched pages (xhs/client.py:492)
+                posts_gate = posts_gate & (
+                    (F.col("cursor_seq") + 1) * self.posts_page_size < self.max_creator_posts
+                )
+            next_posts_seeds = pbase.filter(posts_gate).select(*rc["next_posts_seed"])
+            if self.max_creator_posts is not None:
+                # trim note fan-out past the cap (position on the cursor walk)
+                pos = F.col("cursor_seq") * self.posts_page_size + F.col("item_idx")
+                posts_note_seeds = posts_note_seeds.filter(pos < self.max_creator_posts)
+        else:
+            posts_seed0 = self._empty_seeds()
+            posts_note_seeds = self._empty_seeds()
+            next_posts_seeds = self._empty_seeds()
+
+        # --- bilibili contact/dynamics walk (S15/S16/J5) ---
+        if self.crawl_contacts:
+            uid = F.regexp_extract(F.col("url"), r"/user/([^/?]+)", 1)
+            bili_creators = crbase.filter(F.col("platform") == "bilibili")
+            edge_seed0 = _union_all([
+                bili_creators.select(
+                    *_seed_cols(
+                        F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
+                                 uid, F.lit(edge_kind + "?pn=1")),
+                        F.col("host"), F.col("priority"), F.col("depth") + 1,
+                        F.col("keyword"), F.col("page"), F.col("item_idx"),
+                        F.lit(0), F.lit("1"),  # START_CONTACTS_PAGE = 1
+                    )
+                )
+                for edge_kind in ("/fans", "/followings")
+            ] + [
+                bili_creators.select(
+                    *_seed_cols(
+                        F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
+                                 uid, F.lit("/dynamics?offset=0")),
+                        F.col("host"), F.col("priority"), F.col("depth") + 1,
+                        F.col("keyword"), F.col("page"), F.col("item_idx"),
+                        F.lit(0), F.lit("0"),
+                    )
+                )
+            ])
+            fbase = parsed.filter(kind.isin("fans", "followings"))
+            fx = fbase.select(*rc["fx"])
+            contacts = fx.filter(F.col("u").isNotNull())
+            if self.max_contacts is not None:
+                cpos = F.col("cursor_seq") * self.contacts_page_size + F.col("fx_idx")
+                contacts = contacts.filter(cpos < self.max_contacts)
+            contacts = contacts.select(*rc["contacts"]).withColumn("round_id", F.lit(round_id))
+            fans_gate = F.col("fpage.has_more")
+            if self.max_contacts is not None:
+                fans_gate = fans_gate & (
+                    (F.col("cursor_seq") + 1) * self.contacts_page_size < self.max_contacts
+                )
+            next_contact_seeds = fbase.filter(fans_gate).select(
+                *_seed_cols(
+                    F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
+                             F.col("fpage.target_uid"),
+                             F.when(kind == "fans", F.lit("/fans?pn="))
+                             .otherwise(F.lit("/followings?pn=")),
+                             (F.col("cursor_seq") + 2).cast("string")),
+                    F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"),
+                    F.col("page"), F.col("item_idx"), F.col("cursor_seq") + 1,
+                    (F.col("cursor_seq") + 2).cast("string"),
+                )
+            )
+            dbase = parsed.filter(kind == "dynamics")
+            dx = dbase.select(*rc["dx"])
+            dynamics = dx.filter(F.col("it").isNotNull())
+            if self.max_dynamics is not None:
+                dpos = F.col("cursor_seq") * self.dynamics_page_size + F.col("dx_idx")
+                dynamics = dynamics.filter(dpos < self.max_dynamics)
+            dynamics = dynamics.select(*rc["dynamics"]).withColumn("round_id", F.lit(round_id))
+            dyn_gate = F.col("dpage.has_more")
+            if self.max_dynamics is not None:
+                dyn_gate = dyn_gate & (
+                    (F.col("cursor_seq") + 1) * self.dynamics_page_size < self.max_dynamics
+                )
+            next_dyn_seeds = dbase.filter(dyn_gate).select(*rc["next_dynamics_seed"])
+        else:
+            edge_seed0 = self._empty_seeds()
+            next_contact_seeds = self._empty_seeds()
+            next_dyn_seeds = self._empty_seeds()
+            contacts = self._empty(DELTA_DDL["contacts"])
+            dynamics = self._empty(DELTA_DDL["dynamics"])
 
         # --- frontier maintenance ---
+        # Within-round URL collision rule: when several discovery paths emit
+        # the same URL with different (keyword,page,item_idx,…) metadata, the
+        # survivor is the deterministic MIN over the ordering key (null
+        # keyword compares as '' — same rule as the scheduler and the
+        # sequential simulator, reference_sim.py best-dict).
         discovered = (
-            comment_seeds.unionByName(next_cursor_seeds).unionByName(sub_seeds)
-            .unionByName(note_seeds).unionByName(next_search_seeds)
-            .unionByName(creator_seeds)
-            .dropDuplicates(["url"])
+            _union_all([
+                comment_seeds, next_cursor_seeds, sub_seeds, note_seeds,
+                next_search_seeds, creator_seeds, posts_seed0,
+                posts_note_seeds, next_posts_seeds, edge_seed0,
+                next_contact_seeds, next_dyn_seeds,
+            ])
+            .groupBy("url", "host")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.coalesce(F.col("keyword"), F.lit("")).alias("kw_ord"),
+                        F.col("page"), F.col("item_idx"), F.col("cursor_seq"),
+                        F.col("priority"), F.col("depth"), F.col("keyword"),
+                        F.col("cursor_val"),
+                    )
+                ).alias("_o")
+            )
+            .select(
+                "url", "host",
+                F.col("_o.priority").alias("priority"),
+                F.col("_o.depth").alias("depth"),
+                F.col("_o.keyword").alias("keyword"),
+                F.col("_o.page").alias("page"),
+                F.col("_o.item_idx").alias("item_idx"),
+                F.col("_o.cursor_seq").alias("cursor_seq"),
+                F.col("_o.cursor_val").alias("cursor_val"),
+            )
         )
         active_urls = frontier.select("url")
         if self._bloom is not None:
@@ -440,6 +779,9 @@ class CrawlEngine:
             .withColumn("round_id", F.lit(round_id))
             .select(*_FRONTIER_COLS)
         )
+        # terminal failed table (north_rule lineage: exhausted-retry rows are
+        # queryable, like denied — they never silently vanish)
+        failed = retries.filter(F.col("state") == "failed")
 
         leftover = frontier.filter(F.col("state") == "open").join(
             scheduled.select("url").unionByName(denied.select("url")),
@@ -453,14 +795,14 @@ class CrawlEngine:
 
         # seen delta (append-only log): only this round's fetched URLs —
         # the full seen table is never rewritten
-        seen_delta = fetched.select("url").withColumn("round_id", F.lit(round_id))
+        seen_delta = parsed.select("url").withColumn("round_id", F.lit(round_id))
 
         # --- per-host round metrics (north_rule lineage counters) ---
         # one tagged union + one aggregation (scheduled = fetched ∪ misses)
-        tagged = fetched.select(
+        tagged = parsed.select(
             "host",
             F.lit(1).cast("long").alias("_f"),
-            (F.col("kind") == "content").cast("long").alias("_p"),
+            (kind == "content").cast("long").alias("_p"),
             F.lit(0).cast("long").alias("_m"),
         ).unionByName(
             misses.select(
@@ -480,7 +822,16 @@ class CrawlEngine:
             "host", "scheduled", "fetched", "parsed", "failed",
             F.lit(0).cast("long").alias("deduped"),
         )
-        return content, comments, creators, seen_delta, new_frontier, metrics, denied
+        return {
+            "content": content,
+            "comments": comments,
+            "creators": creators,
+            "contacts": contacts,
+            "dynamics": dynamics,
+            "metrics": metrics,
+            "denied": denied,
+            "failed": failed,
+        }, seen_delta, new_frontier
 
     # -- seen log (append-only) ---------------------------------------------
     def _read_seen(self, upto_round: int) -> DataFrame:
@@ -500,10 +851,8 @@ class CrawlEngine:
     # -- the driver loop ----------------------------------------------------
     def run(self, seeds: DataFrame, max_rounds: int = 50, resume: bool = False) -> CrawlResult:
         spark = self.spark
-        empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
         start_round = 0
-        all_content, all_comments, all_metrics, all_denied = [], [], [], []
-        all_creators = []
+        deltas: dict[str, list[DataFrame]] = {name: [] for name in _DELTA_ORDER}
 
         if self.ckpt:
             self._seen_dir = os.path.join(self.ckpt, "seen")
@@ -526,13 +875,9 @@ class CrawlEngine:
                 if os.path.isdir(self._seen_dir):
                     self._seen_count = self._read_seen(start_round).count()
                 for d in done:  # carry forward prior rounds' outputs
-                    base = os.path.join(self.ckpt, d)
-                    all_content.append(spark.read.parquet(os.path.join(base, "content_delta")))
-                    all_comments.append(spark.read.parquet(os.path.join(base, "comments_delta")))
-                    all_metrics.append(spark.read.parquet(os.path.join(base, "metrics_delta")))
-                    all_denied.append(spark.read.parquet(os.path.join(base, "denied_delta")))
-                    if os.path.isdir(os.path.join(base, "creators_delta")):
-                        all_creators.append(spark.read.parquet(os.path.join(base, "creators_delta")))
+                    rid = int(d.split("=")[1])
+                    for name in _DELTA_ORDER:
+                        deltas[name].append(self._read_delta(rid, name))
         if start_round == 0:
             if os.path.isdir(self._seen_dir):
                 shutil.rmtree(self._seen_dir)
@@ -544,11 +889,9 @@ class CrawlEngine:
         for r in range(start_round, max_rounds):
             t0 = time.time()
             seen = self._read_seen(r)
-            content, comments, creators, seen_delta, frontier_next, metrics, denied = self._round(
-                frontier, seen, r
-            )
+            tables, seen_delta, frontier_next = self._round(frontier, seen, r)
+            tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
             t_build = time.time() - t0
-            denied = denied.select(*_FRONTIER_COLS)
 
             # persist round outputs; frontier is written LAST — its presence
             # marks the round complete for resume
@@ -558,19 +901,14 @@ class CrawlEngine:
             seen_delta.write.mode("append").parquet(self._seen_dir)
             self._seen_count += delta_n
             t_seen = time.time() - t1
-            content = self._materialize(content, r, "content_delta")
-            comments = self._materialize(comments, r, "comments_delta")
-            creators = self._materialize(creators, r, "creators_delta")
-            metrics = self._materialize(metrics, r, "metrics_delta")
-            denied = self._materialize(denied, r, "denied_delta")
+            t1 = time.time()
+            out = self._write_deltas(tables, r)
+            for name in _DELTA_ORDER:
+                deltas[name].append(out[name])
+            t_deltas = time.time() - t1
             t1 = time.time()
             frontier = self._materialize(frontier_next, r, "frontier")
             t_frontier = time.time() - t1
-            all_content.append(content)
-            all_comments.append(comments)
-            all_creators.append(creators)
-            all_metrics.append(metrics)
-            all_denied.append(denied)
 
             # incremental Bloom maintenance (delta merge, never a rebuild
             # once active)
@@ -593,20 +931,26 @@ class CrawlEngine:
             if debug:
                 print(
                     f"[crawl r{r}] build={t_build:.2f}s seen_delta={t_seen:.2f}s "
-                    f"frontier={t_frontier:.2f}s deltas={time.time()-t0-t_build-t_seen-t_frontier:.2f}s "
+                    f"frontier={t_frontier:.2f}s deltas={t_deltas:.2f}s "
                     f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
                 )
             if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
                 break
 
+        def table(name: str) -> DataFrame:
+            return _union_all(deltas[name]) if deltas[name] else self._empty(DELTA_DDL[name])
+
         return CrawlResult(
-            content=_union_all(all_content) if all_content else empty("note_id string"),
-            comments=_union_all(all_comments) if all_comments else empty("comment_id string"),
-            creators=_union_all(all_creators) if all_creators else empty("user_id string"),
+            content=table("content"),
+            comments=table("comments"),
+            creators=table("creators"),
+            contacts=table("contacts"),
+            dynamics=table("dynamics"),
             seen=self._read_seen(r + 1).dropDuplicates(["url"]),
             frontier=frontier,
-            metrics=_union_all(all_metrics) if all_metrics else empty("round_id int, host string"),
-            denied=_union_all(all_denied) if all_denied else empty("url string"),
+            metrics=table("metrics"),
+            denied=table("denied"),
+            failed=table("failed"),
             rounds=r + 1,
         )
 

@@ -286,7 +286,10 @@ def q_json_extract(spark, sf):  # E3/E15 â€” JSON field access
 
 
 SQL_JSON_EXTRACT = """
-SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+-- CAST: DuckDB's sum(BIGINT) returns HUGEINT which fetchdf() materializes
+-- as float64 (976742.0 vs Spark's long 976742) â€” same decimal-cast
+-- discipline as SQL_AGG_PRICING keeps the driver's exact hash aligned.
+SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -326,6 +329,85 @@ SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'å»ºç­‘' WHEN 'AUTOMOBILE' THEN 'æ
             WHEN 'MACHINERY' THEN 'æœºæ¢°' ELSE 'å…¶ä»–' END AS label,
        count(*) AS n
 FROM customer GROUP BY 1
+"""
+
+
+def q_contact_edges(spark, sf):  # S15/J5 â€” bidirectional contact-edge store
+    """The reference's bilibili contact store keeps (up_id, fan_id) rows,
+    swapping the argument order for followings pages
+    (store/bilibili/__init__.py:138-161). Derivation here is a deterministic
+    relation over documents so a pure-SQL oracle exists; the crawl-integrated
+    path is equivalence-tested in tests/test_creator_graph.py."""
+    d = _t(spark, sf, "documents")
+    creator = F.concat(F.lit("user"), F.pmod(F.col("doc_id"), F.lit(101)).cast("string"))
+    contact = F.concat(F.lit("user"), F.pmod(F.col("doc_id") * 13, F.lit(97)).cast("string"))
+    fans = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        creator.alias("up_id"), contact.alias("fan_id"), F.lit("fans").alias("src_kind")
+    )
+    followings = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
+        contact.alias("up_id"), creator.alias("fan_id"), F.lit("followings").alias("src_kind")
+    )
+    return fans.unionByName(followings).distinct()
+
+
+SQL_CONTACT_EDGES = """
+SELECT DISTINCT 'user' || (doc_id % 101) AS up_id,
+       'user' || ((doc_id * 13) % 97) AS fan_id,
+       'fans' AS src_kind
+FROM documents WHERE doc_id % 2 = 0
+UNION
+SELECT DISTINCT 'user' || ((doc_id * 13) % 97) AS up_id,
+       'user' || (doc_id % 101) AS fan_id,
+       'followings' AS src_kind
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_to_json_boundary(spark, sf):  # E15 â€” struct/map â†’ JSON-string boundary
+    from mediacrawler_spark.functions.text import map_to_json_col
+    c = _t(spark, sf, "customer")
+    j = map_to_json_col(
+        F.struct(F.col("c_name").alias("name"), F.col("c_mktsegment").alias("seg"))
+    )
+    return c.select("c_custkey", j.alias("j"))
+
+
+SQL_TO_JSON_BOUNDARY = """
+SELECT c_custkey, to_json(struct_pack(name := c_name, seg := c_mktsegment)) AS j
+FROM customer
+"""
+
+
+def q_cdn_trace_urls(spark, sf):  # E20 â€” trace-id parse + CDN URL fan-out
+    from mediacrawler_spark.functions.text import img_urls_by_trace_id_col, trace_id_col
+    p = _t(spark, sf, "part")
+    # deterministic fake img URLs; even keys take the /spectrum/ path branch
+    img_url = F.when(
+        F.pmod(F.col("p_partkey"), F.lit(2)) == 0,
+        F.concat(F.lit("https://ci.xiaohongshu.com/spectrum/img"), F.col("p_partkey").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://ci.xiaohongshu.com/img"), F.col("p_partkey").cast("string"))
+    )
+    t = p.select("p_partkey", trace_id_col(img_url).alias("trace_id"))
+    return t.select(
+        "p_partkey", "trace_id",
+        F.explode(img_urls_by_trace_id_col(F.col("trace_id"))).alias("cdn_url"),
+    )
+
+
+SQL_CDN_TRACE_URLS = """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN 'spectrum/img' || p_partkey
+              ELSE 'img' || p_partkey END AS trace_id
+  FROM part
+)
+SELECT p_partkey, trace_id,
+       cdn || '/' || trace_id || '?imageView2/format/png' AS cdn_url
+FROM t CROSS JOIN (VALUES ('https://sns-img-qc.xhscdn.com'),
+                          ('https://sns-img-hw.xhscdn.com'),
+                          ('https://sns-img-bd.xhscdn.com'),
+                          ('https://sns-img-qn.xhscdn.com')) AS c(cdn)
 """
 
 
@@ -507,6 +589,39 @@ SELECT vec_id, centroid_id AS bucket FROM (
 """
 
 
+def q_embedding_near_dups(spark, sf):  # similarity â€” cosine near-dup pairs in IVF buckets
+    e = _t(spark, sf, "embeddings")
+    res = similarity.embedding_near_dups(e, threshold=0.9)
+    return res.select("vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_SQL_COS.format(a="e.embedding", b="c.ce")} AS c_cos
+  FROM embeddings e CROSS JOIN cents c
+),
+b AS (
+  SELECT vec_id, embedding, centroid_id AS bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         {_SQL_COS.format(a="x.embedding", b="y.embedding")} AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracle-less entries (engine-specific inputs or non-portable hashes):
 # driver records the weaker rows-only check.
@@ -547,6 +662,39 @@ def q_crawl_slice(spark, sf):  # Â§3.2 minimum slice â€” 2-round detail crawl
     return res.content
 
 
+def q_zhihu_contents(spark, sf):  # S12/E3 â€” zhihu per-type dispatch + extractors
+    from mediacrawler_spark import synth_zhihu
+    from mediacrawler_spark.operators import zhihu as Z
+    return Z.extract_zhihu_contents(synth_zhihu.build_zhihu_fixture_pages(_t(spark, sf, "documents")))
+
+
+def q_tieba_search_notes(spark, sf):  # E2 â€” tieba search-list extractor (Arrow UDF)
+    from mediacrawler_spark import synth_tieba
+    from mediacrawler_spark.operators import tieba as T
+    return T.extract_search_notes(synth_tieba.build_search_fixture_pages(_t(spark, sf, "documents")))
+
+
+def q_tieba_comments(spark, sf):  # E2/E17 â€” tieba comment extractor + kernel + tail regexes
+    from mediacrawler_spark import synth_tieba
+    from mediacrawler_spark.operators import tieba as T
+    return T.extract_parent_comments(synth_tieba.build_comments_fixture_pages(_t(spark, sf, "documents")))
+
+
+def q_crawl_creator_graph(spark, sf):  # S14â€“S16/J4â€“J5 â€” creator posts + edges
+    from pyspark.sql import functions as F
+    from mediacrawler_spark import synth
+    from mediacrawler_spark.plans.crawl import CrawlEngine
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(F.col("doc_id") < 150)
+    pages = synth.build_pages(spark, None, documents=docs)
+    eng = CrawlEngine(
+        spark, pages, synth.build_robots(spark), use_bloom=False,
+        crawl_creators=True, crawl_creator_posts=True, max_creator_posts=15,
+        crawl_contacts=True, max_contacts=12, max_dynamics=15,
+    )
+    res = eng.run(synth.build_seeds(spark, None, documents=docs), max_rounds=6)
+    return res.contacts
+
+
 def q_crawl_search_slice(spark, sf):  # Â§3.1 flagship â€” search â†’ notes â†’ creators
     from pyspark.sql import functions as F
     from mediacrawler_spark import synth
@@ -581,6 +729,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "time_functions": (q_time_functions, SQL_TIME_FUNCTIONS),
     "label_map": (q_label_map, SQL_LABEL_MAP),
+    "contact_edges": (q_contact_edges, SQL_CONTACT_EDGES),
+    "to_json_boundary": (q_to_json_boundary, SQL_TO_JSON_BOUNDARY),
+    "cdn_trace_urls": (q_cdn_trace_urls, SQL_CDN_TRACE_URLS),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
     "seen_except": (q_seen_except, SQL_SEEN_EXCEPT),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
@@ -590,6 +741,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ivf_buckets": (q_ivf_buckets, SQL_IVF_BUCKETS),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "lsh_candidate_pairs": (q_lsh_pairs, None),
@@ -598,4 +750,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "extract_kernel": (q_extract_kernel, None),
     "crawl_slice": (q_crawl_slice, None),
     "crawl_search_slice": (q_crawl_search_slice, None),
+    "crawl_creator_graph": (q_crawl_creator_graph, None),
+    "tieba_search_notes": (q_tieba_search_notes, None),
+    "tieba_comments": (q_tieba_comments, None),
+    "zhihu_contents": (q_zhihu_contents, None),
 }

@@ -75,10 +75,26 @@ def merge_upsert(
         merged = kept.unionByName(updated).unionByName(inserted)
     else:
         merged = new_rows
+    # Commit protocol: write the merged table to a fresh tmp dir, then swap
+    # directories with two renames (old → .old, tmp → live) and drop .old.
+    # A crash between the renames leaves either the old table or the new one
+    # intact — never a half-overwritten live table — and no tmp copy leaks.
+    # (On a cluster this whole function is an Iceberg `MERGE INTO`, whose
+    # snapshot commit is truly atomic; this is the single-FS equivalent.)
+    import shutil
+
     tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return spark.read.parquet(path)
 
 

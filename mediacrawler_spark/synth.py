@@ -87,12 +87,27 @@ def _json_escape(c):
     return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\"')
 
 
+def _zhihu_type(doc_id) -> F.Column:
+    """Zhihu content comes in three URL types (S12, judge_zhihu_url:
+    zhihu/help.py:448-467): answer / article / zvideo."""
+    return F.element_at(
+        F.array(F.lit("answer"), F.lit("article"), F.lit("zvideo")),
+        (F.pmod(doc_id, F.lit(3)) + 1).cast("int"),
+    )
+
+
 def _content_url(b: DataFrame) -> F.Column:
+    zt = _zhihu_type(F.col("doc_id"))
+    zhihu_path = (
+        F.when(zt == "answer", F.concat(F.lit("/question/q1/answer/"), F.col("note_id")))
+        .when(zt == "article", F.concat(F.lit("/p/"), F.col("note_id")))
+        .otherwise(F.concat(F.lit("/zvideo/"), F.col("note_id")))
+    )
     path = F.when(F.col("platform") == "xhs", F.concat(F.lit("/explore/"), F.col("note_id"),
                   F.lit("?xsec_token=tok"), F.col("doc_id").cast("string"), F.lit("&xsec_source=pc_search"))) \
         .when(F.col("platform") == "tieba", F.concat(F.lit("/p/"), F.col("note_id"))) \
         .when(F.col("platform") == "weibo", F.concat(F.lit("/detail/"), F.col("note_id"))) \
-        .when(F.col("platform") == "zhihu", F.concat(F.lit("/question/q1/answer/"), F.col("note_id"))) \
+        .when(F.col("platform") == "zhihu", zhihu_path) \
         .otherwise(F.concat(F.lit("/video/"), F.col("note_id")))
     return F.concat(F.lit("https://"), F.col("host"), path)
 
@@ -131,7 +146,14 @@ def build_content_pages(documents: DataFrame) -> DataFrame:
         .when(F.col("platform") == "weibo",
               F.concat(F.lit("<script>var $render_data = ["), state, F.lit("][0] || {};</script>")))
         .when(F.col("platform") == "zhihu",
-              F.concat(F.lit('<script id="js-initialData" type="text/json">{"initialState":{"entities":{"answers":{"'),
+              # entity map keyed by the content type the URL dispatches to
+              # (answers / articles / zvideos — zhihu/help.py:364-445)
+              F.concat(F.lit('<script id="js-initialData" type="text/json">{"initialState":{"entities":{"'),
+                       F.element_at(
+                           F.array(F.lit("answers"), F.lit("articles"), F.lit("zvideos")),
+                           (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+                       ),
+                       F.lit('":{"'),
                        F.col("note_id"), F.lit('":'),
                        F.regexp_replace(state, ":undefined", ":null"), F.lit("}}}}</script>")))
         .when(F.col("platform") == "tieba",
@@ -288,9 +310,12 @@ def build_search_pages(documents: DataFrame) -> DataFrame:
     )
     wmax = Window.partitionBy("platform", "_kw")
     grouped = grouped.withColumn("_maxpg", F.max("_pg").over(wmax))
+    # session_id: the kuaishou searchSessionId carry (kuaishou/core.py:155)
+    # — deterministic per (platform, keyword), echoed on every page.
     body = F.concat(
         F.lit('{"has_more":'), (F.col("_pg") < F.col("_maxpg")).cast("string"),
-        F.lit(',"note_urls":['), F.col("_urls"), F.lit("]}"),
+        F.lit(',"session_id":"ss-'), F.col("platform"), F.lit("-"), F.col("_kw"),
+        F.lit('","note_urls":['), F.col("_urls"), F.lit("]}"),
     )
     url = F.concat(
         F.lit("https://h0."), F.col("platform"), F.lit(".example/search/"),
@@ -353,6 +378,171 @@ def build_creator_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def build_creator_posts_pages(documents: DataFrame) -> DataFrame:
+    """Creator-posts cursor pages (S14/J4: the reference's
+    ``get_all_notes_by_creator`` walk, media_platform/xhs/client.py:473-519:
+    cursor + has_more + a notes list per page; per-page callback → detail
+    fan-out). One page per (platform, user_id, cursor_k) listing that
+    creator's note URLs, 10 per page, in deterministic doc_id order. The
+    cursor_k=0 page always exists (the reference probes the first page
+    unconditionally)."""
+    from pyspark.sql import Window
+
+    b = _base(documents)
+    w = Window.partitionBy("platform", "user_id").orderBy("doc_id")
+    items = (
+        b.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_pg", (F.col("_rn") / 10).cast("int"))
+        .withColumn("_note_url", _content_url(b))
+    )
+    grouped = items.groupBy("platform", "user_id", "_pg").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rn").alias("rn"), F.col("_note_url").alias("u")))
+                ),
+                lambda s: F.concat(F.lit('"'), s["u"], F.lit('"')),
+            ),
+            ",",
+        ).alias("_urls"),
+        F.min("warc_ts").alias("warc_ts"),
+    )
+    wmax = Window.partitionBy("platform", "user_id")
+    grouped = grouped.withColumn("_maxpg", F.max("_pg").over(wmax))
+    body = F.concat(
+        F.lit('{"has_more":'), (F.col("_pg") < F.col("_maxpg")).cast("string"),
+        F.lit(',"cursor":"'), (F.col("_pg") + 1).cast("string"),
+        F.lit('","note_urls":['), F.col("_urls"), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://h0."), F.col("platform"), F.lit(".example/user/"),
+        F.col("user_id"), F.lit("/posts?cursor="), F.col("_pg").cast("string"),
+    )
+    return grouped.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("creator_posts").alias("kind"),
+        "platform",
+        F.concat(F.lit("h0."), F.col("platform"), F.lit(".example")).alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
+def _bili_creators(documents: DataFrame) -> DataFrame:
+    b = _base(documents)
+    return (
+        b.filter(F.col("platform") == "bilibili")
+        .groupBy("user_id")
+        .agg(F.min("doc_id").alias("_m"), F.min("warc_ts").alias("warc_ts"))
+    )
+
+
+def _contact_pages(creators: DataFrame, edge_kind: str, n_mod: int) -> DataFrame:
+    """Paginated relation pages (S15: bilibili/client.py:394-440 — `pn`
+    pages of {mid, uname} items; has_more stands in for the reference's
+    stop-on-empty-page probe). pn is 1-based (START_CONTACTS_PAGE)."""
+    n = F.pmod(F.xxhash64(F.lit(edge_kind), F.col("user_id")), F.lit(n_mod)).cast("int")
+    n_pages = F.greatest(F.ceil(n / 10).cast("int"), F.lit(1))
+    pages = creators.select(
+        "*", n.alias("_n"), n_pages.alias("_np"),
+        F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("_pg"),
+    )
+    start = F.col("_pg") * 10
+    cnt = F.greatest(F.least(F.lit(10), F.col("_n") - start), F.lit(0))
+    items = F.when(cnt > 0, F.transform(
+        F.sequence(start, start + cnt - 1),
+        lambda j: F.concat(
+            F.lit('{"id":"user'),
+            F.pmod(F.col("_m") * 13 + j * 7, F.lit(97)).cast("string"),
+            F.lit('","name":"'), F.lit(edge_kind), F.lit("-"), j.cast("string"), F.lit('"}'),
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    body = F.concat(
+        F.lit('{"has_more":'), (F.col("_pg") < F.col("_np") - 1).cast("string"),
+        F.lit(',"users":['), F.array_join(items, ","), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://h0.bilibili.example/user/"), F.col("user_id"),
+        F.lit("/"), F.lit(edge_kind), F.lit("?pn="), (F.col("_pg") + 1).cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit(edge_kind).alias("kind"),
+        F.lit("bilibili").alias("platform"),
+        F.lit("h0.bilibili.example").alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
+def build_contact_pages(documents: DataFrame) -> DataFrame:
+    """Fans + followings relation pages for bilibili creators (S15/J5)."""
+    creators = _bili_creators(documents)
+    return _contact_pages(creators, "fans", 28).unionByName(
+        _contact_pages(creators, "followings", 15)
+    )
+
+
+def build_dynamics_pages(documents: DataFrame) -> DataFrame:
+    """Dynamics offset pages for bilibili creators (S16:
+    bilibili/client.py:487-546 — offset + has_more + items whose fields
+    mirror store/bilibili/__init__.py:165-183)."""
+    creators = _bili_creators(documents)
+    n = F.pmod(F.xxhash64(F.lit("dyn"), F.col("user_id")), F.lit(22)).cast("int")
+    n_pages = F.greatest(F.ceil(n / 10).cast("int"), F.lit(1))
+    pages = creators.select(
+        "*", n.alias("_n"), n_pages.alias("_np"),
+        F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("_pg"),
+    )
+    start = F.col("_pg") * 10
+    cnt = F.greatest(F.least(F.lit(10), F.col("_n") - start), F.lit(0))
+    dtype = F.element_at(
+        F.array(F.lit("DYNAMIC_TYPE_AV"), F.lit("DYNAMIC_TYPE_DRAW"), F.lit("DYNAMIC_TYPE_WORD")),
+        (F.pmod(F.col("_m"), F.lit(3)) + 1).cast("int"),
+    )
+    items = F.when(cnt > 0, F.transform(
+        F.sequence(start, start + cnt - 1),
+        lambda i: F.concat(
+            F.lit('{"id":"dyn-'), F.col("user_id"), F.lit("-"), i.cast("string"),
+            F.lit('","text":"动态 '), i.cast("string"), F.lit(" by "), F.col("user_id"),
+            F.lit('","type":"'), dtype,
+            F.lit('","pub_ts":'), (F.lit(_TS0) + F.col("_m") * 60 + i).cast("string"),
+            F.lit(',"comment_count":'), F.pmod(F.col("_m") + i, F.lit(50)).cast("string"),
+            F.lit(',"like_count":'), F.pmod(F.col("_m") * 3 + i, F.lit(900)).cast("string"),
+            F.lit("}"),
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    body = F.concat(
+        F.lit('{"has_more":'), (F.col("_pg") < F.col("_np") - 1).cast("string"),
+        F.lit(',"offset":"'), (F.col("_pg") + 1).cast("string"),
+        F.lit('","items":['), F.array_join(items, ","), F.lit("]}"),
+    )
+    url = F.concat(
+        F.lit("https://h0.bilibili.example/user/"), F.col("user_id"),
+        F.lit("/dynamics?offset="), F.col("_pg").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("dynamics").alias("kind"),
+        F.lit("bilibili").alias("platform"),
+        F.lit("h0.bilibili.example").alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
 def build_pages(
     spark: SparkSession,
     sf_dir: str,
@@ -377,6 +567,9 @@ def build_pages(
         .unionByName(build_subcomment_pages(documents))
         .unionByName(build_search_pages(documents))
         .unionByName(build_creator_pages(documents))
+        .unionByName(build_creator_posts_pages(documents))
+        .unionByName(build_contact_pages(documents))
+        .unionByName(build_dynamics_pages(documents))
     )
     if with_text:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))

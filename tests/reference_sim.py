@@ -2,11 +2,14 @@
 
 A tiny pure-Python loop implementing the reference's crawl semantics the
 way MediaCrawler does — sequential cursor loops with budgets
-(media_platform/xhs/core.py:116-169, client.py:325-428) — extended with the
-engine's contract (robots gate, per-host per-round budget, retry backoff,
-exact seen-set). The Spark engine must produce the **same URL-seen set,
-content set, comment set and ordering keys**; the equivalence test is the
-north_rule check.
+(media_platform/xhs/core.py:116-169, client.py:325-428), creator-posts
+cursor walks (xhs/client.py:473-519), and the bilibili fans/followings/
+dynamics expansion (bilibili/client.py:394-546, core.py:553-657) — extended
+with the engine's contract (robots gate, per-host per-round budget, retry
+backoff, exact seen-set). The Spark engine must produce the **same URL-seen
+set, content set, comment set, contact-edge set, dynamics set and ordering
+keys**, and carry the same per-platform pagination cursor strings
+(S2/S3/S7); the equivalence test is the north_rule check.
 """
 
 from __future__ import annotations
@@ -20,9 +23,13 @@ from dataclasses import dataclass, field
 class SimResult:
     seen: set = field(default_factory=set)
     denied: set = field(default_factory=set)
+    failed: set = field(default_factory=set)
     content: set = field(default_factory=set)   # (note_id, keyword, page, item_idx, cursor_seq)
     comments: set = field(default_factory=set)  # (comment_id, note_id, parent, cursor_seq, item_idx)
     creators: set = field(default_factory=set)  # (user_id, platform)
+    contacts: set = field(default_factory=set)  # (up_id, fan_id, src_kind, cursor_seq, item_idx)
+    dynamics: set = field(default_factory=set)  # (dynamic_id, user_id, cursor_seq, item_idx)
+    cursor_vals: dict = field(default_factory=dict)  # url -> pagination cursor string
     rounds: int = 0
 
 
@@ -33,6 +40,14 @@ def classify(url: str) -> str:
         return "comments"
     if "/search/" in url:
         return "search"
+    if "/posts" in url:
+        return "creator_posts"
+    if "/fans" in url:
+        return "fans"
+    if "/followings" in url:
+        return "followings"
+    if "/dynamics" in url:
+        return "dynamics"
     if "/user/" in url:
         return "creator"
     return "content"
@@ -46,6 +61,24 @@ def note_id_of(url: str) -> str:
     return url.split("?")[0].split("/")[-1]
 
 
+def uid_of(url: str) -> str:
+    return url.split("/user/")[1].split("/")[0].split("?")[0]
+
+
+def search_cursor(platform: str, page: int, session_id: str | None) -> str:
+    """Per-platform search-pagination cursor math (engine's
+    extract.search_cursor_col twin — reference formulas cited there)."""
+    if platform == "douyin":
+        return f"offset={(page - 1) * 10}"
+    if platform == "kuaishou":
+        return f"page={page}&searchSessionId={session_id or ''}"
+    if platform == "zhihu":
+        return f"offset={(page - 1) * 20}"
+    if platform == "tieba":
+        return f"pn={(page - 1) * 10}"
+    return f"page={page}"
+
+
 ORDER = lambda f: (  # noqa: E731 — engine scheduler ORDER_COLS
     f["priority"], f["keyword"] or "", f["page"], f["item_idx"], f["cursor_seq"], f["url"]
 )
@@ -53,7 +86,10 @@ ORDER = lambda f: (  # noqa: E731 — engine scheduler ORDER_COLS
 
 def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True,
              max_attempts=3, crawl_creators=False, max_search_pages=None,
-             max_comments_per_note=None, comment_page_size=10) -> SimResult:
+             max_comments_per_note=None, comment_page_size=10,
+             crawl_creator_posts=False, max_creator_posts=None, posts_page_size=10,
+             crawl_contacts=False, max_contacts=None, contacts_page_size=10,
+             max_dynamics=None, dynamics_page_size=10) -> SimResult:
     pages = {r["url"]: r for r in pages_rows}
     robots = {r["host"]: r for r in robots_rows}
     res = SimResult()
@@ -63,8 +99,14 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
         frontier[s["url"]] = dict(
             url=s["url"], host=host_of(s["url"]), priority=s["priority"] or 0,
             depth=0, keyword=s["keyword"], page=0, item_idx=0, cursor_seq=0,
-            attempts=0, not_before=0,
+            attempts=0, not_before=0, cursor=None,
         )
+
+    def seed(url, host, priority, depth, keyword, page, item_idx, cursor_seq, cursor):
+        return dict(url=url, host=host, priority=priority, depth=depth,
+                    keyword=keyword, page=page, item_idx=item_idx,
+                    cursor_seq=cursor_seq, attempts=0, not_before=None,
+                    cursor=cursor)
 
     for rnd in range(max_rounds):
         res.rounds = rnd + 1
@@ -99,6 +141,8 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                 if f["attempts"] < max_attempts:
                     f["not_before"] = rnd + min(2 ** f["attempts"], 8)
                     frontier[f["url"]] = f
+                else:
+                    res.failed.add(f["url"])
                 continue
             res.seen.add(f["url"])
             kind = classify(f["url"])
@@ -107,23 +151,91 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                 doc = json.loads(body)
                 kw = re.search(r"/search/([^?]+)", f["url"]).group(1)
                 pg = int(re.search(r"page=(\d+)", f["url"]).group(1))
+                platform = f["host"].split(".")[1]
                 for idx, nu in enumerate(doc["note_urls"]):
-                    discovered.append(dict(
-                        url=nu, host=host_of(nu), priority=f["priority"],
-                        depth=f["depth"] + 1, keyword=f["keyword"], page=pg,
-                        item_idx=idx, cursor_seq=0, attempts=0, not_before=rnd + 1,
+                    discovered.append(seed(
+                        nu, host_of(nu), f["priority"], f["depth"] + 1,
+                        f["keyword"], pg, idx, 0, None,
                     ))
                 if doc["has_more"] and (max_search_pages is None or pg + 1 <= max_search_pages):
-                    discovered.append(dict(
-                        url=f"https://{f['host']}/search/{kw}?page={pg + 1}",
-                        host=f["host"], priority=f["priority"], depth=f["depth"],
-                        keyword=f["keyword"], page=pg + 1, item_idx=0,
-                        cursor_seq=0, attempts=0, not_before=rnd + 1,
+                    discovered.append(seed(
+                        f"https://{f['host']}/search/{kw}?page={pg + 1}",
+                        f["host"], f["priority"], f["depth"], f["keyword"],
+                        pg + 1, 0, 0,
+                        search_cursor(platform, pg + 1, doc.get("session_id")),
                     ))
             elif kind == "creator":
                 doc = json.loads(body)
                 platform = f["host"].split(".")[1]
                 res.creators.add((doc["user_id"], platform))
+                uid = uid_of(f["url"])
+                if crawl_creator_posts:
+                    discovered.append(seed(
+                        f"https://{f['host']}/user/{uid}/posts?cursor=0",
+                        f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                        f["page"], f["item_idx"], 0, "0",
+                    ))
+                if crawl_contacts and platform == "bilibili":
+                    for ek in ("fans", "followings"):
+                        discovered.append(seed(
+                            f"https://{f['host']}/user/{uid}/{ek}?pn=1",
+                            f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                            f["page"], f["item_idx"], 0, "1",
+                        ))
+                    discovered.append(seed(
+                        f"https://{f['host']}/user/{uid}/dynamics?offset=0",
+                        f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                        f["page"], f["item_idx"], 0, "0",
+                    ))
+            elif kind == "creator_posts":
+                doc = json.loads(body)
+                uid = uid_of(f["url"])
+                mp, pps = max_creator_posts, posts_page_size
+                for idx, nu in enumerate(doc["note_urls"]):
+                    if mp is not None and f["cursor_seq"] * pps + idx >= mp:
+                        continue
+                    discovered.append(seed(
+                        nu, host_of(nu), f["priority"], f["depth"] + 1,
+                        f["keyword"], f["page"], idx, f["cursor_seq"], None,
+                    ))
+                if doc["has_more"] and (mp is None or (f["cursor_seq"] + 1) * pps < mp):
+                    discovered.append(seed(
+                        f"https://{f['host']}/user/{uid}/posts?cursor={doc['cursor']}",
+                        f["host"], f["priority"], f["depth"], f["keyword"],
+                        f["page"], f["item_idx"], f["cursor_seq"] + 1, doc["cursor"],
+                    ))
+            elif kind in ("fans", "followings"):
+                doc = json.loads(body)
+                uid = uid_of(f["url"])
+                mc, cps = max_contacts, contacts_page_size
+                for idx, u in enumerate(doc["users"]):
+                    if mc is not None and f["cursor_seq"] * cps + idx >= mc:
+                        continue
+                    if kind == "fans":  # swap-args edge store (store/bilibili/__init__.py:149-161)
+                        res.contacts.add((uid, u["id"], kind, f["cursor_seq"], idx))
+                    else:
+                        res.contacts.add((u["id"], uid, kind, f["cursor_seq"], idx))
+                if doc["has_more"] and (mc is None or (f["cursor_seq"] + 1) * cps < mc):
+                    pn = f["cursor_seq"] + 2
+                    discovered.append(seed(
+                        f"https://{f['host']}/user/{uid}/{kind}?pn={pn}",
+                        f["host"], f["priority"], f["depth"], f["keyword"],
+                        f["page"], f["item_idx"], f["cursor_seq"] + 1, str(pn),
+                    ))
+            elif kind == "dynamics":
+                doc = json.loads(body)
+                uid = uid_of(f["url"])
+                md, dps = max_dynamics, dynamics_page_size
+                for idx, it in enumerate(doc["items"]):
+                    if md is not None and f["cursor_seq"] * dps + idx >= md:
+                        continue
+                    res.dynamics.add((it["id"], uid, f["cursor_seq"], idx))
+                if doc["has_more"] and (md is None or (f["cursor_seq"] + 1) * dps < md):
+                    discovered.append(seed(
+                        f"https://{f['host']}/user/{uid}/dynamics?offset={doc['offset']}",
+                        f["host"], f["priority"], f["depth"], f["keyword"],
+                        f["page"], f["item_idx"], f["cursor_seq"] + 1, doc["offset"],
+                    ))
             elif kind == "content":
                 res.content.add(
                     (note_id_of(f["url"]), f["keyword"], f["page"], f["item_idx"], f["cursor_seq"])
@@ -132,19 +244,17 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                     m_uid = re.search(r'data-uid="([^"]+)"', body)
                     platform = f["host"].split(".")[1]
                     if m_uid:
-                        discovered.append(dict(
-                            url=f"https://h0.{platform}.example/user/{m_uid.group(1)}",
-                            host=f"h0.{platform}.example", priority=0, depth=0,
-                            keyword=f["keyword"], page=f["page"], item_idx=f["item_idx"],
-                            cursor_seq=0, attempts=0, not_before=rnd + 1,
+                        discovered.append(seed(
+                            f"https://h0.{platform}.example/user/{m_uid.group(1)}",
+                            f"h0.{platform}.example", 0, 0, f["keyword"],
+                            f["page"], f["item_idx"], 0, None,
                         ))
                 m = re.search(r"comments:(\d+)", body)
                 if m and int(m.group(1)) > 0:
-                    discovered.append(dict(
-                        url=f"https://{f['host']}/api/comments/{note_id_of(f['url'])}?cursor=0",
-                        host=f["host"], priority=f["priority"], depth=f["depth"] + 1,
-                        keyword=f["keyword"], page=f["page"], item_idx=f["item_idx"],
-                        cursor_seq=0, attempts=0, not_before=rnd + 1,
+                    discovered.append(seed(
+                        f"https://{f['host']}/api/comments/{note_id_of(f['url'])}?cursor=0",
+                        f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                        f["page"], f["item_idx"], 0, "0",
                     ))
             else:
                 doc = json.loads(body)
@@ -158,35 +268,38 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         continue  # W1 budget trim (xhs/client.py:355-356)
                     res.comments.add((c["id"], note, parent, f["cursor_seq"], idx))
                     if enable_sub and kind == "comments" and c["sub_comment_count"] > 0:
-                        discovered.append(dict(
-                            url=f"https://{f['host']}/api/subcomments/{c['id']}?cursor=0",
-                            host=f["host"], priority=f["priority"], depth=f["depth"] + 1,
-                            keyword=f["keyword"], page=f["page"], item_idx=idx,
-                            cursor_seq=0, attempts=0, not_before=rnd + 1,
+                        discovered.append(seed(
+                            f"https://{f['host']}/api/subcomments/{c['id']}?cursor=0",
+                            f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                            f["page"], idx, 0, "0",
                         ))
                 more_ok = doc["has_more"] and not (
                     kind == "comments" and mc is not None and (f["cursor_seq"] + 1) * ps >= mc
                 )
                 if more_ok:
-                    discovered.append(dict(
-                        url=f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={doc['cursor']}",
-                        host=f["host"], priority=f["priority"], depth=f["depth"],
-                        keyword=f["keyword"], page=f["page"], item_idx=f["item_idx"],
-                        cursor_seq=f["cursor_seq"] + 1, attempts=0, not_before=rnd + 1,
+                    discovered.append(seed(
+                        f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={doc['cursor']}",
+                        f["host"], f["priority"], f["depth"], f["keyword"],
+                        f["page"], f["item_idx"], f["cursor_seq"] + 1, doc["cursor"],
                     ))
 
-        # within-round dedup: creator URLs can be emitted by many notes; the
-        # engine keeps the MIN (keyword,page,item_idx) metadata — mirror it
+        # within-round dedup: the same URL can be emitted by several
+        # discovery paths; the winner is the deterministic MIN ordering key
+        # (engine's groupBy-min-struct rule — keyword None compares as "")
         best: dict[str, dict] = {}
         for d in discovered:
             cur = best.get(d["url"])
-            key = (d["keyword"] or "", d["page"], d["item_idx"])
-            if cur is None or key < (cur["keyword"] or "", cur["page"], cur["item_idx"]):
+            key = (d["keyword"] or "", d["page"], d["item_idx"], d["cursor_seq"],
+                   d["priority"], d["depth"])
+            if cur is None or key < (cur["keyword"] or "", cur["page"], cur["item_idx"],
+                                     cur["cursor_seq"], cur["priority"], cur["depth"]):
                 best[d["url"]] = d
         for d in best.values():
             if d["url"] in res.seen or d["url"] in frontier:
                 continue
+            d["not_before"] = rnd + 1
             frontier[d["url"]] = d
+            res.cursor_vals[d["url"]] = d["cursor"]
         if not any(f["not_before"] <= max_rounds for f in frontier.values()):
             break
     return res
