@@ -69,29 +69,40 @@ def shingles_col(text, n: int = 3):
 # ---------------------------------------------------------------------------
 # MinHash + LSH (portable md5 variant — reproducible in the SQL oracle)
 def minhash_signatures(
-    documents: DataFrame, n_hashes: int = 8, shingle_n: int = 3
+    documents: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """k min-hashes per doc; hash_i(s) = md5(i || '|' || s), min as string.
+    """k min-hashes per doc.
 
-    String-min over hex md5 is a uniform permutation proxy that any ANSI
-    engine reproduces exactly — chosen for oracle portability. The
-    xxhash64 variant (faster, JVM-native) is in ``simhash_signatures``'s
-    style and used by the crawl engine's seen-set instead.
+    ``hash_fn="md5"``: hash_i(s) = md5(i || '|' || s), min as string —
+    a uniform permutation proxy any ANSI engine reproduces exactly, chosen
+    for oracle portability (the ``minhash_sigs`` correctness pair).
+    ``hash_fn="xxhash64"``: hash_i(s) = xxhash64(i, s), min as long —
+    JVM-native and several× faster; the scale path used by the near-dup
+    pipeline (no portable oracle, checked by the planted-dup test).
     """
+    from mediacrawler_spark.session import spread
+
     sh = shingles_col(F.col("text"), shingle_n).alias("sh")
-    base = documents.select("doc_id", sh).filter(F.size("sh") > 0)
-    sig_cols = [
-        F.array_min(
-            F.transform("sh", lambda s: F.md5(F.concat(F.lit(str(i)), F.lit("|"), s)))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    base = spread(documents, "doc_id").select("doc_id", sh).filter(F.size("sh") > 0)
+    if hash_fn == "xxhash64":
+        sig_cols = [
+            F.array_min(F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        sig_cols = [
+            F.array_min(
+                F.transform("sh", lambda s: F.md5(F.concat(F.lit(str(i)), F.lit("|"), s)))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
     return base.select("doc_id", *sig_cols)
 
 
 def lsh_candidate_pairs(
     documents: DataFrame, n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
-    max_band_bucket: int | None = 64,
+    max_band_bucket: int | None = 64, hash_fn: str = "md5",
 ) -> DataFrame:
     """Docs sharing any LSH band → candidate (a,b) pairs, a<b, distinct.
 
@@ -102,20 +113,31 @@ def lsh_candidate_pairs(
     explicit recall/robustness trade (docs in a dropped bucket usually
     share several other, selective bands). Pass ``None`` to disable.
     """
-    sigs = minhash_signatures(documents, n_hashes, shingle_n)
+    sigs = minhash_signatures(documents, n_hashes, shingle_n, hash_fn)
     n_bands = n_hashes // band_size
+
+    def band_key(b):
+        members = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*members).cast("string")
+        return F.md5(F.concat_ws("#", *members))
+
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])).alias("key"),
-                )
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
                 for b in range(n_bands)
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # The band table feeds up to four consumers (bucket-count aggregate,
+    # the frequency-cutoff semi-join, both sides of the self-join); without
+    # a cache each consumer would recompute the md5 signature pass — the
+    # single most expensive stage of the pipeline. The table is narrow
+    # (doc_id + 2 short keys); at cluster scale this is the natural
+    # materialization point (checkpoint/Iceberg table between stages).
+    bands = bands.persist()
     if max_band_bucket is not None:
         ok = (
             bands.groupBy("band", "key")
@@ -171,8 +193,10 @@ def jaccard_verify_hashed(
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    from mediacrawler_spark.session import spread
+
     sh = (
-        documents.join(needed, on="doc_id", how="left_semi")
+        spread(documents, "doc_id").join(needed, on="doc_id", how="left_semi")
         .select(
             "doc_id",
             F.transform(
@@ -205,7 +229,13 @@ def minhash_near_dups(
     Uses the hashed verify kernel (int64 shingles, candidate-doc semi-join)
     — the 100 TB shape; round-1 bench showed the string verify join was the
     single most expensive query at sf0.1."""
-    pairs = lsh_candidate_pairs(documents, n_hashes, band_size, shingle_n, max_band_bucket)
+    # the candidate-pair list is read three times by the hashed verify
+    # (doc_a ∪ doc_b prefilter + the pair join itself) — cache it so the
+    # LSH pipeline runs once; xxhash64 signatures (JVM-native) — the md5
+    # variant exists only for the oracle-paired `minhash_sigs` entry
+    pairs = lsh_candidate_pairs(
+        documents, n_hashes, band_size, shingle_n, max_band_bucket, hash_fn="xxhash64"
+    ).persist()
     return jaccard_verify_hashed(documents, pairs, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -219,7 +249,9 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     explode → one groupBy(doc_id) with 64 conditional-sum aggregates →
     recombine. All codegen'd; scales as a single shuffle on doc_id.
     """
-    toks = documents.select(
+    from mediacrawler_spark.session import spread
+
+    toks = spread(documents, "doc_id").select(
         "doc_id",
         F.explode(F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

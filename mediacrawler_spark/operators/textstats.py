@@ -86,6 +86,9 @@ def fingerprint_col(text: Column) -> Column:
 
 def document_profile(documents: DataFrame) -> DataFrame:
     """One-pass profile over the documents table — the headline text op."""
+    from mediacrawler_spark.session import spread
+
+    documents = spread(documents, "doc_id")
     t = F.col("text")
     return documents.select(
         "doc_id",

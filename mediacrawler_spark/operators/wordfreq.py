@@ -17,8 +17,10 @@ from mediacrawler_spark.operators.textstats import EN_STOPWORDS, tokens_col
 
 
 def word_freq(documents: DataFrame, text_col: str = "text", drop_stopwords: bool = False) -> DataFrame:
+    from mediacrawler_spark.session import spread
+
     toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
-    df = documents.select(F.explode(toks).alias("word"))
+    df = spread(documents).select(F.explode(toks).alias("word"))
     if drop_stopwords:
         stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
         df = df.filter(~F.array_contains(stop, F.col("word")))

@@ -497,7 +497,16 @@ class CrawlEngine:
         else:
             probe = F.broadcast(scheduled)
         fetched = self.pages.join(probe, on="url", how="inner")
-        parsed = X.parse_round(fetched).persist()
+        # The fetch-join output inherits the pages table's partitioning —
+        # hundreds of near-empty partitions for a politeness-bounded batch.
+        # The parsed frame is scanned by ~a dozen consumers per round (seed
+        # branches, outputs, metrics, the seen delta), so cache it at
+        # shuffle-partition granularity: one cheap narrow-row shuffle here
+        # replaces consumers × N-partition cache scans (measured: the
+        # frontier job alone launched >2000 near-empty cache-scan tasks per
+        # round without this).
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        parsed = X.parse_round(fetched).repartition(n_shuffle).persist()
         self._round_cache = [scheduled, parsed]
         misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 
@@ -751,6 +760,12 @@ class CrawlEngine:
                 F.col("_o.cursor_val").alias("cursor_val"),
             )
         )
+        # The dedup + frontier-emission chain reads `discovered` twice (the
+        # Bloom prefilter forks into definitely-new ∪ verified-new); persist
+        # the deduped seed set so the 12-branch union + min-struct aggregate
+        # is computed once per round.
+        discovered = discovered.persist()
+        self._round_cache.append(discovered)
         active_urls = frontier.select("url")
         if self._bloom is not None:
             new_urls = seen_ops.unseen_bloom_prefiltered(discovered, seen, bloom=self._bloom)
@@ -898,7 +913,11 @@ class CrawlEngine:
             t1 = time.time()
             seen_delta = seen_delta.persist()
             delta_n = seen_delta.count()
-            seen_delta.write.mode("append").parquet(self._seen_dir)
+            # cap file count: the seen log is re-read every round (and twice
+            # per round by the Bloom verify fork) — hundreds of tiny
+            # per-round files would dominate the scan with listing overhead
+            write_delta = seen_delta.coalesce(4) if self._small_round else seen_delta
+            write_delta.write.mode("append").parquet(self._seen_dir)
             self._seen_count += delta_n
             t_seen = time.time() - t1
             t1 = time.time()

@@ -49,3 +49,18 @@ def build_session(
 
 def get_or_create(spark: SparkSession | None = None) -> SparkSession:
     return spark if spark is not None else build_session()
+
+
+def spread(df, key: str | None = None):
+    """Widen a narrow-partitioned input before heavy per-row compute.
+
+    Single-file parquet tables (the driver testdata is one file with ONE
+    row group per table) scan as one partition, so hash/shingle/profile
+    operators would run single-core regardless of cluster size. One cheap
+    shuffle up front fixes that; inputs that are already at least as wide
+    as the cluster's parallelism pass through untouched (a real
+    Iceberg/partitioned table never pays the shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
