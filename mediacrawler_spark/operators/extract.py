@@ -52,6 +52,40 @@ COMMENT_PAGE_DDL = (
     "comments array<struct<id:string, content:string, create_time:long, sub_comment_count:int>>"
 )
 
+# P7 — xhs video-URL resolution, the nested fallback chain of
+# ``get_video_url_arr`` (store/xhs/__init__.py:41-65): snake_case
+# origin_video_key → camelCase originVideoKey → h264 master_url list; a
+# non-empty key short-circuits to the single CDN URL. Pure nested-coalesce
+# + ``transform`` — no UDF, whole-stage-codegen friendly.
+XHS_VIDEO_DDL = (
+    "type string, video struct<"
+    "consumer:struct<origin_video_key:string, originVideoKey:string>, "
+    "media:struct<stream:struct<h264:array<struct<master_url:string>>>>>"
+)
+
+_XHS_VIDEO_CDN = "http://sns-video-bd.xhscdn.com/"
+
+
+def video_url_arr_col(note: Column) -> Column:
+    """``note`` is a struct column matching XHS_VIDEO_DDL. Returns the
+    reference-identical video-URL array ([] for non-video notes)."""
+    empty = F.array().cast("array<string>")
+    consumer = note["video"]["consumer"]
+    # reference: falsy ('' or missing) snake_case key degrades to camelCase
+    key = F.coalesce(
+        F.nullif(consumer["origin_video_key"], F.lit("")),
+        F.nullif(consumer["originVideoKey"], F.lit("")),
+    )
+    h264 = F.transform(
+        note["video"]["media"]["stream"]["h264"], lambda v: v["master_url"]
+    )
+    return (
+        F.when(note["type"].isNull() | (note["type"] != "video"), empty)
+        .when(key.isNotNull(), F.array(F.concat(F.lit(_XHS_VIDEO_CDN), key)))
+        .otherwise(F.coalesce(h264, empty))
+    )
+
+
 # URL-type dispatch (reference S12: judge_zhihu_url, zhihu/help.py:448-467).
 def classify_url_col(url: Column) -> Column:
     return (
@@ -320,13 +354,34 @@ def extract_comment_pages(pages: DataFrame) -> DataFrame:
 # row) and the single ``decode(html)`` is shared across branches by
 # whole-stage-codegen subexpression elimination.
 
-_PARSE_COLS: list | None = None
+_PARSE_COLS: dict[str, list] = {}
 
 
-def _parse_cols() -> list:
+# O2 — comment order mode (reference: bilibili CommentOrderType passed per
+# request, bilibili/client.py:217-231; the server returns comments in that
+# order, which defines collection order + the W4 item_idx). "default" keeps
+# the page's listing order; "time_desc" re-sorts each page's comment array
+# by (create_time DESC, id ASC) *before* posexplode — an array-level sort,
+# no extra shuffle, item_idx then reflects the mode's order.
+def _comment_order_arr(comments: Column, comment_order: str) -> Column:
+    if comment_order == "default":
+        return comments
+    if comment_order != "time_desc":
+        raise ValueError(f"unknown comment_order: {comment_order}")
+    return F.array_sort(
+        comments,
+        lambda a, b: F.when(a["create_time"] > b["create_time"], F.lit(-1))
+        .when(a["create_time"] < b["create_time"], F.lit(1))
+        .when(a["id"] < b["id"], F.lit(-1))
+        .when(a["id"] > b["id"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def _parse_cols(comment_order: str = "default") -> list:
     global _PARSE_COLS
-    if _PARSE_COLS is not None:
-        return _PARSE_COLS
+    if comment_order in _PARSE_COLS:
+        return _PARSE_COLS[comment_order]
     from mediacrawler_spark.functions.text import gender_col
 
     url = F.col("url")
@@ -354,13 +409,13 @@ def _parse_cols() -> list:
     )
     n_com = F.nullif(F.regexp_extract(html_str, r"comments:(\d+)", 1), F.lit("")).cast("int")
 
-    # --- comment cursor branch (J2/J3) ---
+    # --- comment cursor branch (J2/J3; O2 order mode) ---
     cp = F.from_json(html_str, COMMENT_PAGE_DDL)
     cpage_struct = F.struct(
         F.regexp_extract(url, r"/api/(?:sub)?comments/([^?]+)", 1).alias("target_id"),
         cp["has_more"].alias("has_more"),
         cp["cursor"].alias("next_cursor"),
-        cp["comments"].alias("comments"),
+        _comment_order_arr(cp["comments"], comment_order).alias("comments"),
     )
 
     # --- search branch (S1–S7) ---
@@ -415,7 +470,7 @@ def _parse_cols() -> list:
     )
 
     is_content = kind == "content"
-    _PARSE_COLS = [
+    _PARSE_COLS[comment_order] = cols = [
         url, F.col("host"), plat.alias("platform"), kind.alias("kind"),
         F.col("priority"), F.col("depth"), F.col("keyword"), F.col("page"),
         F.col("item_idx"), F.col("cursor_seq"),
@@ -429,17 +484,19 @@ def _parse_cols() -> list:
         F.when(kind.isin("fans", "followings"), fpage_struct).alias("fpage"),
         F.when(kind == "dynamics", dpage_struct).alias("dpage"),
     ]
-    return _PARSE_COLS
+    return cols
 
 
-def parse_round(fetched: DataFrame) -> DataFrame:
+def parse_round(fetched: DataFrame, comment_order: str = "default") -> DataFrame:
     """Fetched batch (pages ⋈ scheduled) → one narrow parsed row per URL.
 
     Input needs url, host, html, text plus the frontier lineage columns
     (priority, depth, keyword, page, item_idx, cursor_seq). The html binary
     is decoded exactly once and DROPPED — the output is safe to persist.
+    ``comment_order`` is the O2 sort mode applied to each comment page's
+    item array before explosion.
     """
-    return fetched.select(*_parse_cols())
+    return fetched.select(*_parse_cols(comment_order))
 
 
 # ---------------------------------------------------------------------------

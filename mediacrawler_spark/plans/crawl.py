@@ -336,6 +336,7 @@ class CrawlEngine:
         enable_sub_comments: bool = True,  # reference ENABLE_GET_SUB_COMMENTS (base_config.py:90)
         max_comments_per_note: int | None = None,  # W1: CRAWLER_MAX_COMMENTS_COUNT_SINGLENOTES
         comment_page_size: int = 10,
+        comment_order: str = "default",  # O2: CommentOrderType (bilibili/client.py:217-231)
         max_search_pages: int | None = None,  # O3 page budget (CRAWLER_MAX_NOTES_COUNT/page_size)
         crawl_creators: bool = False,  # §3.3 creator mode: fetch author profiles
         crawl_creator_posts: bool = False,  # S14/J4: walk creators' posts cursor
@@ -362,6 +363,7 @@ class CrawlEngine:
         self.enable_sub_comments = enable_sub_comments
         self.max_comments_per_note = max_comments_per_note
         self.comment_page_size = comment_page_size
+        self.comment_order = comment_order
         self.max_search_pages = max_search_pages
         self.crawl_creators = crawl_creators
         self.crawl_creator_posts = crawl_creator_posts
@@ -506,7 +508,7 @@ class CrawlEngine:
         # frontier job alone launched >2000 near-empty cache-scan tasks per
         # round without this).
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        parsed = X.parse_round(fetched).repartition(n_shuffle).persist()
+        parsed = X.parse_round(fetched, self.comment_order).repartition(n_shuffle).persist()
         self._round_cache = [scheduled, parsed]
         misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 

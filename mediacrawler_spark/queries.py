@@ -411,6 +411,77 @@ FROM t CROSS JOIN (VALUES ('https://sns-img-qc.xhscdn.com'),
 """
 
 
+def q_search_sort_modes(spark, sf):  # O1 — SearchSortType orderings
+    """The reference's three search sort modes (xhs SearchSortType,
+    media_platform/xhs/field.py:46-53: general / popularity_descending /
+    time_descending; bilibili SearchOrderType analogs) over one result
+    set: the same rows ranked under each mode, ties broken by id — the
+    pushed-down orderBy the synthetic resolver applies per mode."""
+    ev = _t(spark, sf, "events")
+    w_gen = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_pop = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    w_time = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w_gen).cast("long").alias("rank_general"),
+        F.row_number().over(w_pop).cast("long").alias("rank_popularity"),
+        F.row_number().over(w_time).cast("long").alias("rank_time_desc"),
+    )
+
+
+SQL_SEARCH_SORT_MODES = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rank_general,
+       row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank_popularity,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rank_time_desc
+FROM events
+"""
+
+
+def q_video_url_chain(spark, sf):  # P7 — nested video-URL fallback chain
+    """The reference's ``get_video_url_arr`` (store/xhs/__init__.py:41-65):
+    snake_case origin_video_key → camelCase originVideoKey → h264
+    master_url list, empty for non-video notes. The nested note struct is
+    built deterministically from ``part`` so every branch is exercised;
+    the oracle mirrors the *semantics* on the flat source columns."""
+    from mediacrawler_spark.operators.extract import video_url_arr_col
+    p = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    mode = F.pmod(k, F.lit(4))
+    snake = F.when(mode == 1, F.concat(F.lit("vkey"), k.cast("string"))).otherwise(F.lit(""))
+    camel = F.when(mode == 2, F.concat(F.lit("cKey"), k.cast("string"))).otherwise(F.lit(""))
+    h264 = F.transform(
+        F.sequence(F.lit(1), (F.pmod(k, F.lit(3)) + 1).cast("int")),
+        lambda i: F.struct(
+            F.concat(F.lit("https://v.example/m"), k.cast("string"),
+                     F.lit("-"), i.cast("string")).alias("master_url")
+        ),
+    )
+    note = F.struct(
+        F.when(mode == 0, F.lit("normal")).otherwise(F.lit("video")).alias("type"),
+        F.struct(
+            F.struct(snake.alias("origin_video_key"), camel.alias("originVideoKey")).alias("consumer"),
+            F.struct(F.struct(h264.alias("h264")).alias("stream")).alias("media"),
+        ).alias("video"),
+    )
+    return p.select(
+        "p_partkey", F.array_join(video_url_arr_col(note), "|").alias("video_urls")
+    )
+
+
+SQL_VIDEO_URL_CHAIN = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 4 = 0 THEN ''
+            WHEN p_partkey % 4 = 1 THEN 'http://sns-video-bd.xhscdn.com/vkey' || p_partkey
+            WHEN p_partkey % 4 = 2 THEN 'http://sns-video-bd.xhscdn.com/cKey' || p_partkey
+            ELSE array_to_string(
+              list_transform(range(1, p_partkey % 3 + 2),
+                             i -> 'https://v.example/m' || p_partkey || '-' || i), '|')
+       END AS video_urls
+FROM part
+"""
+
+
 def q_crawl_order(spark, sf):  # W4/O1/O3 — deterministic global crawl order + budget
     o = _t(spark, sf, "orders")
     return (
@@ -731,6 +802,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_map": (q_label_map, SQL_LABEL_MAP),
     "contact_edges": (q_contact_edges, SQL_CONTACT_EDGES),
     "to_json_boundary": (q_to_json_boundary, SQL_TO_JSON_BOUNDARY),
+    "video_url_chain": (q_video_url_chain, SQL_VIDEO_URL_CHAIN),
+    "search_sort_modes": (q_search_sort_modes, SQL_SEARCH_SORT_MODES),
     "cdn_trace_urls": (q_cdn_trace_urls, SQL_CDN_TRACE_URLS),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
     "seen_except": (q_seen_except, SQL_SEEN_EXCEPT),

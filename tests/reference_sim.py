@@ -87,6 +87,7 @@ ORDER = lambda f: (  # noqa: E731 — engine scheduler ORDER_COLS
 def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True,
              max_attempts=3, crawl_creators=False, max_search_pages=None,
              max_comments_per_note=None, comment_page_size=10,
+             comment_order="default",
              crawl_creator_posts=False, max_creator_posts=None, posts_page_size=10,
              crawl_contacts=False, max_contacts=None, contacts_page_size=10,
              max_dynamics=None, dynamics_page_size=10) -> SimResult:
@@ -260,7 +261,10 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                 doc = json.loads(body)
                 target = f["url"].split("/")[-1].split("?")[0]
                 mc, ps = max_comments_per_note, comment_page_size
-                for idx, c in enumerate(doc["comments"]):
+                items = doc["comments"]
+                if comment_order == "time_desc":  # O2 order mode
+                    items = sorted(items, key=lambda c: (-c["create_time"], c["id"]))
+                for idx, c in enumerate(items):
                     note = target if kind == "comments" else re.match(r"^(.*?)c\d+$", target).group(1)
                     parent = target if kind == "subcomments" else None
                     pos = f["cursor_seq"] * ps + idx

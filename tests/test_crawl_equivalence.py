@@ -85,3 +85,32 @@ def test_resume_equals_uninterrupted(spark, corpus, engine_result, tmp_path):
     a = {r["url"] for r in resumed.seen.collect()}
     b = {r["url"] for r in engine_result.seen.collect()}
     assert a == b
+
+
+def test_comment_order_time_desc_equivalence(spark, corpus):
+    """O2 — CommentOrderType=time_desc: engine and simulator re-rank each
+    comment page's item_idx by (create_time DESC, id ASC) and stay
+    equivalent on the full comment set including ordering keys. The mode
+    must actually change positions vs default (synthetic create_times are
+    strictly increasing within a page, so time_desc reverses them)."""
+    pages, seeds, robots = corpus
+    eng = CrawlEngine(spark, pages, robots, use_bloom=False, comment_order="time_desc")
+    res = eng.run(seeds, max_rounds=25)
+    sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=25, comment_order="time_desc",
+    )
+    got = {
+        (r["comment_id"], r["note_id"], r["parent_comment_id"], r["ord_cursor_seq"], r["ord_item_idx"])
+        for r in res.comments.collect()
+    }
+    assert got == sim.comments
+    default_sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=25,
+    )
+    assert got != default_sim.comments  # the mode is not a no-op

@@ -84,3 +84,44 @@ def test_no_per_row_python_in_extraction_plans(spark, documents):
 
     plan2 = build_pages(spark, None, documents=documents.limit(10))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2
+
+
+def test_video_url_arr_matches_reference_semantics(spark):
+    """P7 — the nested video-URL fallback chain byte-matches a row-wise port
+    of the reference's get_video_url_arr (store/xhs/__init__.py:41-65)."""
+    from mediacrawler_spark.operators.extract import XHS_VIDEO_DDL, video_url_arr_col
+
+    def ref_get_video_url_arr(note_item):
+        if note_item.get("type") != "video":
+            return []
+        video_arr = []
+        ovk = note_item.get("video").get("consumer").get("origin_video_key")
+        if ovk == "":
+            ovk = note_item.get("video").get("consumer").get("originVideoKey")
+        if ovk == "":
+            videos = note_item.get("video").get("media").get("stream").get("h264")
+            if type(videos).__name__ == "list":
+                video_arr = [v.get("master_url") for v in videos]
+        else:
+            video_arr = [f"http://sns-video-bd.xhscdn.com/{ovk}"]
+        return video_arr
+
+    cases = [
+        {"type": "normal", "video": {"consumer": {"origin_video_key": "k1", "originVideoKey": ""},
+                                     "media": {"stream": {"h264": []}}}},
+        {"type": "video", "video": {"consumer": {"origin_video_key": "snake9", "originVideoKey": "camel9"},
+                                    "media": {"stream": {"h264": [{"master_url": "https://v/x"}]}}}},
+        {"type": "video", "video": {"consumer": {"origin_video_key": "", "originVideoKey": "camelOnly"},
+                                    "media": {"stream": {"h264": [{"master_url": "https://v/y"}]}}}},
+        {"type": "video", "video": {"consumer": {"origin_video_key": "", "originVideoKey": ""},
+                                    "media": {"stream": {"h264": [{"master_url": "https://v/a"},
+                                                                  {"master_url": "https://v/b"}]}}}},
+        {"type": "video", "video": {"consumer": {"origin_video_key": "", "originVideoKey": ""},
+                                    "media": {"stream": {"h264": []}}}},
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(cases)], "i int, j string"
+    ).withColumn("note", F.from_json(F.col("j"), XHS_VIDEO_DDL))
+    got = {r["i"]: r["urls"] for r in df.select("i", video_url_arr_col(F.col("note")).alias("urls")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == ref_get_video_url_arr(c), (i, got[i])
