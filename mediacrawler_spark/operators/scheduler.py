@@ -87,18 +87,32 @@ def select_round(
     )
     eligible = gated.filter(F.col("allow"))
 
+    # Uncontended fast path: a host whose eligible row count fits its budget
+    # schedules every row — rank ≤ budget is vacuously true, so the window
+    # would only serialize the host's rows through one task for nothing.
+    # This matters whenever budgets are large relative to per-host frontier
+    # slices (a 10^7-URL superstep round with politeness effectively off
+    # would otherwise funnel the whole frontier through #hosts tasks). The
+    # per-host count is a tiny broadcast dim (#hosts rows).
+    host_counts = eligible.groupBy("host").agg(F.count(F.lit(1)).alias("_hn"))
+    eligible = eligible.join(F.broadcast(host_counts), on="host", how="left")
+    passthrough = eligible.filter(F.col("_hn") <= F.col("max_per_round")).drop(
+        "_hn", "allow", "max_per_round"
+    )
+    contended = eligible.filter(F.col("_hn") > F.col("max_per_round")).drop("_hn")
+
     # Phase 1: rank within (host, salt) shards — fully parallel even for a
     # host holding 50% of the frontier. Keep only rows that could possibly
     # make the per-host cut: shard-rank ≤ host budget.
     w1, w2, order_asc = _windows()
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
     pre = (
-        eligible.withColumn("_salt", salt)
+        contended.withColumn("_salt", salt)
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("max_per_round"))
     )
     # Phase 2: exact rank within host over ≤ n_salts·budget survivors.
-    scheduled = (
+    scheduled = passthrough.unionByName(
         pre.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("max_per_round"))
         .drop("_salt", "_r1", "_r2", "allow", "max_per_round")
