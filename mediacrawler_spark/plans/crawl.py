@@ -492,23 +492,27 @@ class CrawlEngine:
         n_scheduled = scheduled.count()
         self._small_round = n_scheduled < 20_000
         # Fetch-join (J1) — see fetch_join in __init__.
-        if self.fetch_join == "colocated" or (
+        colocated = self.fetch_join == "colocated" or (
             self.fetch_join == "auto" and n_scheduled > self.broadcast_threshold
-        ):
-            probe = scheduled
-        else:
-            probe = F.broadcast(scheduled)
+        )
+        probe = scheduled if colocated else F.broadcast(scheduled)
         fetched = self.pages.join(probe, on="url", how="inner")
-        # The fetch-join output inherits the pages table's partitioning —
-        # hundreds of near-empty partitions for a politeness-bounded batch.
-        # The parsed frame is scanned by ~a dozen consumers per round (seed
-        # branches, outputs, metrics, the seen delta), so cache it at
-        # shuffle-partition granularity: one cheap narrow-row shuffle here
-        # replaces consumers × N-partition cache scans (measured: the
-        # frontier job alone launched >2000 near-empty cache-scan tasks per
-        # round without this).
+        # In broadcast mode the fetch-join output inherits the pages table's
+        # partitioning — hundreds of near-empty partitions for a politeness-
+        # bounded batch. The parsed frame is scanned by ~a dozen consumers
+        # per round (seed branches, outputs, metrics, the seen delta), so
+        # cache it at shuffle-partition granularity: one cheap narrow-row
+        # shuffle replaces consumers × N-partition cache scans (measured:
+        # the frontier job alone launched >2000 near-empty cache-scan tasks
+        # per round without this). In colocated mode the bucketed join's
+        # output is already at bucket granularity (one partition per
+        # bucket), so the extra full shuffle of the batch is pure cost —
+        # skip it.
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        parsed = X.parse_round(fetched, self.comment_order).repartition(n_shuffle).persist()
+        parsed = X.parse_round(fetched, self.comment_order)
+        if not colocated:
+            parsed = parsed.repartition(n_shuffle)
+        parsed = parsed.persist()
         self._round_cache = [scheduled, parsed]
         misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 
