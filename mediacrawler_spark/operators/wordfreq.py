@@ -10,16 +10,83 @@ the tokenizer is whitespace + lowercase with a broadcast stopword set
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mediacrawler_spark.operators.textstats import EN_STOPWORDS, tokens_col
 
 
-def word_freq(documents: DataFrame, text_col: str = "text", drop_stopwords: bool = False) -> DataFrame:
+def fmm_segment(text: str, words: set[str], max_len: int) -> list[str]:
+    """Forward-maximum-matching segmentation — the dictionary half of
+    jieba.lcut (tools/words.py:41 + add_word customs, words.py:28-31).
+    jieba itself is not installed in this container; FMM over the same
+    dictionary is the documented approximation and agrees with jieba on
+    dictionary-unambiguous text. Latin/digit runs group as one token (as
+    jieba does); unmatched CJK falls back to single characters.
+
+    Plain function so tests can run it row-wise as its own oracle and the
+    Arrow UDF below can call it per batch.
+    """
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch.isascii() and ch.isalnum():
+            j = i + 1
+            while j < n and text[j].isascii() and text[j].isalnum():
+                j += 1
+            out.append(text[i:j].lower())
+            i = j
+            continue
+        match = None
+        for ln in range(min(max_len, n - i), 1, -1):
+            cand = text[i : i + ln]
+            if cand in words:
+                match = cand
+                break
+        if match is not None:
+            out.append(match)
+            i += len(match)
+        else:
+            out.append(ch)
+            i += 1
+    return out
+
+
+def fmm_tokens_col(text: Column, dict_words: list[str]) -> Column:
+    """E18 — CJK tokenizer column: Arrow-batched pandas UDF over a
+    broadcast-closure dictionary (array<string> out; never per-row
+    Python — shows as ArrowEvalPython, not BatchEvalPython)."""
+    from pyspark.sql.functions import pandas_udf
+
+    words = frozenset(dict_words)
+    max_len = max((len(w) for w in words), default=1)
+
+    @pandas_udf("array<string>")
+    def _seg(s):
+        return s.fillna("").map(lambda t: fmm_segment(t, words, max_len))
+
+    return _seg(text)
+
+
+def word_freq(
+    documents: DataFrame,
+    text_col: str = "text",
+    drop_stopwords: bool = False,
+    dict_words: list[str] | None = None,
+) -> DataFrame:
+    """A2/A3 word frequency. ``dict_words`` switches the tokenizer from
+    whitespace (latin corpora) to FMM segmentation over that dictionary
+    (CJK corpora — the reference's jieba path)."""
     from mediacrawler_spark.session import spread
 
-    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    if dict_words is not None:
+        toks = fmm_tokens_col(F.col(text_col), dict_words)
+    else:
+        toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
     df = spread(documents).select(F.explode(toks).alias("word"))
     if drop_stopwords:
         stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])

@@ -103,3 +103,47 @@ def write_wordfreq_json(documents: DataFrame, path: str, k: int = 20) -> None:
     from mediacrawler_spark.operators.wordfreq import top_k_words
 
     top_k_words(documents, k=k).coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_media_files(
+    media: DataFrame,
+    base_dir: str,
+    id_col: str = "note_id",
+    name_col: str = "file_name",
+    content_col: str = "content",
+) -> DataFrame:
+    """K4 — media file sink (store/xhs/xhs_store_media.py:24-69 and the
+    video twin): one file per media row at ``{base_dir}/{id}/{name}``,
+    bytes written verbatim, directories created on demand.
+
+    Executes distributed: each Arrow batch writes its rows' files from the
+    executor it lands on (``mapInPandas`` — the Python here IS the sink
+    action, the reference's ``aiofiles.open(...).write`` exactly; no
+    per-row Python enters any query plan). Path components are sanitized
+    against separators/traversal. Returns the written manifest
+    ``(media_path, n_bytes)`` — persisted next to the media as
+    ``{base_dir}/_manifest`` for lineage, the per-partition counters the
+    north rule asks of every sink.
+    """
+    import pandas as pd  # local import: executor-side closure stays light
+
+    def _write(batches):
+        for pdf in batches:
+            paths, sizes = [], []
+            for mid, name, blob in zip(pdf[id_col], pdf[name_col], pdf[content_col]):
+                safe_id = str(mid).replace(os.sep, "_").replace("..", "_")
+                safe_name = str(name).replace(os.sep, "_").replace("..", "_")
+                d = os.path.join(base_dir, safe_id)
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(d, safe_name)
+                with open(p, "wb") as f:
+                    f.write(bytes(blob) if blob is not None else b"")
+                paths.append(p)
+                sizes.append(len(blob) if blob is not None else 0)
+            yield pd.DataFrame({"media_path": paths, "n_bytes": sizes})
+
+    manifest = media.select(id_col, name_col, content_col).mapInPandas(
+        _write, schema="media_path string, n_bytes long"
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base_dir, "_manifest"))
+    return media.sparkSession.read.parquet(os.path.join(base_dir, "_manifest"))

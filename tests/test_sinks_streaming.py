@@ -95,3 +95,64 @@ def test_streaming_budget_gate_matches_batch_window(spark, sf_dir):
     # budget invariant always holds
     per_user = out.groupBy("user_id").agg(F.count("*").alias("n"))
     assert per_user.filter(F.col("n") > 5).count() == 0
+
+
+def test_media_file_sink_writes_reference_layout(spark, tmp_path):
+    """K4 — media sink: one file per row at {base}/{note_id}/{file_name}
+    with verbatim bytes (store/xhs/xhs_store_media.py:50-69), plus a
+    (media_path, n_bytes) manifest. Path parts are sanitized."""
+    from mediacrawler_spark.sources.store import write_media_files
+
+    rows = [
+        ("n1", "a.jpg", b"\x89PNGimg1"),
+        ("n1", "b.mp4", b"\x00\x01videobytes"),
+        ("n2", "a.jpg", b"other"),
+        ("../evil", "x/../y.bin", b"z"),
+    ]
+    df = spark.createDataFrame(rows, "note_id string, file_name string, content binary")
+    base = str(tmp_path / "media")
+    manifest = write_media_files(df, base)
+
+    got = {r["media_path"]: r["n_bytes"] for r in manifest.collect()}
+    assert len(got) == 4
+    p1 = os.path.join(base, "n1", "a.jpg")
+    assert p1 in got and got[p1] == 8
+    with open(p1, "rb") as f:
+        assert f.read() == b"\x89PNGimg1"
+    with open(os.path.join(base, "n2", "a.jpg"), "rb") as f:
+        assert f.read() == b"other"
+    # traversal-ish components are flattened, never escape base
+    for p in got:
+        assert os.path.realpath(p).startswith(os.path.realpath(base))
+
+
+def test_fmm_tokenizer_matches_rowwise_and_plans_arrow(spark):
+    """E18 — FMM segmentation: the Arrow UDF equals the row-wise kernel on
+    mixed CJK/latin text, dictionary words win over single chars, and the
+    plan uses ArrowEvalPython (never BatchEvalPython)."""
+    from mediacrawler_spark.operators.wordfreq import (
+        fmm_segment, fmm_tokens_col, word_freq,
+    )
+
+    dict_words = ["小红书", "爬虫", "数据", "中文分词"]
+    texts = [
+        "小红书爬虫抓取数据 spark engine 2024",
+        "中文分词测试：小红书的数据很多",
+        "no cjk here just words",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    out = df.select("i", fmm_tokens_col(F.col("t"), dict_words).alias("toks"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    got = {r["i"]: r["toks"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == fmm_segment(t, frozenset(dict_words), 4), (i, got[i])
+    assert "小红书" in got[0] and "爬虫" in got[0] and "spark" in got[0]
+
+    freq = {
+        r["word"]: r["freq"]
+        for r in word_freq(df.select(F.col("t").alias("text")), dict_words=dict_words).collect()
+    }
+    assert freq["小红书"] == 2 and freq["数据"] == 2
