@@ -705,6 +705,30 @@ def q_lsh_pairs(spark, sf):  # dedup MinHash-LSH candidate pairs
     return dedup.lsh_candidate_pairs(_t(spark, sf, "documents"))
 
 
+# Oracle mirrors the md5-portable path exactly: 8 min-hashes → 4 bands of 2
+# (band key = md5(mh_{2b} || '#' || mh_{2b+1}), the concat_ws('#') twin),
+# frequency cutoff ≤64 docs per band key, self-join a<b, distinct.
+SQL_LSH_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+), sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS mh{i}" for i in range(8))}
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '#' || mh{2 * b + 1}) AS key FROM sigs" for b in range(4))}
+), ok AS (
+  SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 64
+), kept AS (
+  SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN ok USING (band, key)
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
 def q_minhash_near_dups(spark, sf):  # full LSH near-dup pipeline
     return dedup.minhash_near_dups(_t(spark, sf, "documents"), threshold=0.8)
 
@@ -815,9 +839,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ivf_buckets": (q_ivf_buckets, SQL_IVF_BUCKETS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
-    "lsh_candidate_pairs": (q_lsh_pairs, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "multimodal_features": (q_multimodal_features, None),
     "extract_kernel": (q_extract_kernel, None),
