@@ -68,7 +68,17 @@ _XHS_VIDEO_CDN = "http://sns-video-bd.xhscdn.com/"
 
 def video_url_arr_col(note: Column) -> Column:
     """``note`` is a struct column matching XHS_VIDEO_DDL. Returns the
-    reference-identical video-URL array ([] for non-video notes)."""
+    reference-identical video-URL array ([] for non-video notes).
+
+    Intentional deviation on ABSENT keys: the reference only degrades on
+    exactly ``''`` — an *absent* snake_case key there produces the quirk
+    URL ``http://sns-video-bd.xhscdn.com/None`` (``f"...{None}"``), and an
+    absent ``video``/``consumer`` struct raises AttributeError
+    (store/xhs/__init__.py:41-65). Here NULL (absent in the struct schema)
+    is treated like ``'' `` via nullif/coalesce: absent keys fall through
+    the same fallback chain instead of emitting '/None' or failing the
+    task. Present-key behavior is byte-identical; the absent-key cases are
+    pinned by tests (test_extract.test_video_url_arr_absent_keys)."""
     empty = F.array().cast("array<string>")
     consumer = note["video"]["consumer"]
     # reference: falsy ('' or missing) snake_case key degrades to camelCase
@@ -363,6 +373,16 @@ _PARSE_COLS: dict[str, list] = {}
 # the page's listing order; "time_desc" re-sorts each page's comment array
 # by (create_time DESC, id ASC) *before* posexplode — an array-level sort,
 # no extra shuffle, item_idx then reflects the mode's order.
+#
+# APPROXIMATION (documented): the reference's order mode is SERVER-side —
+# it changes which comments appear on which page, so under a W1
+# max_comments_per_note cap true time-ordered pagination selects the
+# globally-newest comments, while this per-page re-rank selects page-1's
+# comments re-sorted. The synthetic resolver has no server to re-page, so
+# both the engine and the sequential simulator apply the same per-page
+# re-rank (tests/reference_sim.py comment_order branch) and equivalence
+# holds by construction; on a real corpus the mode is a per-page
+# approximation of the reference ordering whenever the cap truncates.
 def _comment_order_arr(comments: Column, comment_order: str) -> Column:
     if comment_order == "default":
         return comments

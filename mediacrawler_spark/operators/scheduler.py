@@ -94,12 +94,18 @@ def select_round(
     # slices (a 10^7-URL superstep round with politeness effectively off
     # would otherwise funnel the whole frontier through #hosts tasks). The
     # per-host count is a tiny broadcast dim (#hosts rows).
-    host_counts = eligible.groupBy("host").agg(F.count(F.lit(1)).alias("_hn"))
-    eligible = eligible.join(F.broadcast(host_counts), on="host", how="left")
+    # The count join keys on a NULL-SAFE host (malformed seeds parse to a
+    # NULL host; a plain equi-join would never match them, leaving both
+    # filters NULL → the row vanishes from the round and sits 'open'
+    # forever, stalling the loop's empty-frontier termination).
+    host_key = F.coalesce(F.col("host"), F.lit("")).alias("_hk")
+    eligible = eligible.withColumn("_hk", host_key)
+    host_counts = eligible.groupBy("_hk").agg(F.count(F.lit(1)).alias("_hn"))
+    eligible = eligible.join(F.broadcast(host_counts), on="_hk", how="left")
     passthrough = eligible.filter(F.col("_hn") <= F.col("max_per_round")).drop(
-        "_hn", "allow", "max_per_round"
+        "_hk", "_hn", "allow", "max_per_round"
     )
-    contended = eligible.filter(F.col("_hn") > F.col("max_per_round")).drop("_hn")
+    contended = eligible.filter(F.col("_hn") > F.col("max_per_round")).drop("_hk", "_hn")
 
     # Phase 1: rank within (host, salt) shards — fully parallel even for a
     # host holding 50% of the frontier. Keep only rows that could possibly

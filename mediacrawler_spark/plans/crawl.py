@@ -83,6 +83,13 @@ _FRONTIER_DDL = (
 
 # Round-output table schemas (used to reconstruct empty frames when a round
 # produced no rows for a table — the multiplexed write then has no subdir).
+# ``frontier`` (next round's state) and ``seen`` (this round's fetched URLs,
+# the append-only seen log) ride in the SAME multiplexed write as the eight
+# output tables: ONE write job per round instead of three. The 2→8-core
+# scaling matrix showed the write phases binding at ~0.46 efficiency on the
+# shared virtual disk while the data plane held 0.85 — merging the jobs
+# shares one scan of the cached parsed frame and one commit, which is also
+# the Iceberg multi-table-transaction shape this maps to on a cluster.
 DELTA_DDL = {
     "content": (
         "note_id string, url string, platform string, title string, desc string, "
@@ -117,9 +124,14 @@ DELTA_DDL = {
     ),
     "denied": _FRONTIER_DDL,
     "failed": _FRONTIER_DDL,
+    "seen": "url string, round_id int",
+    "frontier": _FRONTIER_DDL,
 }
 
-_DELTA_ORDER = list(DELTA_DDL)
+# user-facing round outputs (accumulated into CrawlResult tables)
+_DELTA_ORDER = [k for k in DELTA_DDL if k not in ("seen", "frontier")]
+# everything the per-round multiplexed write carries
+_MUX_ORDER = list(DELTA_DDL)
 
 _RC: dict | None = None
 
@@ -423,21 +435,25 @@ class CrawlEngine:
         return self._empty(_SEED_DDL)
 
     # -- multiplexed round-output write -------------------------------------
-    # All eight output tables of a round go out in ONE partitioned write
-    # (partitionBy does not shuffle — each task appends to its tbl=... dir).
-    # At small round sizes the eight separate write *jobs* were the dominant
-    # per-round fixed cost; at large rounds this is the same bytes either
-    # way. Read-back is per-subdir; a table with zero rows (no subdir) is
+    # ALL state of a round — the eight output tables, the seen delta and the
+    # next frontier — goes out in ONE partitioned write (partitionBy does
+    # not shuffle — each task appends to its tbl=... dir). At small round
+    # sizes the separate write *jobs* were the dominant per-round fixed
+    # cost; at large rounds the single job shares one scan of the cached
+    # parsed frame across every branch and commits once (the write phases
+    # were the 0.46-efficiency bind in the 2→8 scaling matrix). The write's
+    # ``_SUCCESS`` marker is the round-completeness flag for resume.
+    # Read-back is per-subdir; a table with zero rows (no subdir) is
     # reconstructed empty from DELTA_DDL.
     def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", "deltas")
         all_fields: dict[str, object] = {}
-        for name in _DELTA_ORDER:
+        for name in _MUX_ORDER:
             for f in tables[name].schema.fields:
                 all_fields.setdefault(f.name, f.dataType)
         parts = []
-        for name in _DELTA_ORDER:
+        for name in _MUX_ORDER:
             df = tables[name]
             have = set(df.columns)
             cols = [
@@ -446,10 +462,15 @@ class CrawlEngine:
             ]
             parts.append(df.select(*cols).withColumn("tbl", F.lit(name)))
         mux = _union_all(parts)
-        if getattr(self, "_small_round", False):
-            mux = mux.coalesce(4)
+        # File-count discipline: the union of ~15 branches would otherwise
+        # write branches × shuffle-partitions part files per round (each
+        # scanned back by later rounds' seen/frontier reads). coalesce fuses
+        # branch partitions without a shuffle; parallelism stays at the
+        # shuffle width for big rounds, tiny rounds collapse to 4 tasks.
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        mux = mux.coalesce(4 if getattr(self, "_small_round", False) else max(n_shuffle, 8))
         mux.write.mode("overwrite").partitionBy("tbl").parquet(path)
-        return {name: self._read_delta(round_id, name) for name in _DELTA_ORDER}
+        return {name: self._read_delta(round_id, name) for name in _MUX_ORDER}
 
     def _read_delta(self, round_id: int, name: str) -> DataFrame:
         base = self.ckpt or self._scratch
@@ -854,20 +875,30 @@ class CrawlEngine:
             "failed": failed,
         }, seen_delta, new_frontier
 
-    # -- seen log (append-only) ---------------------------------------------
+    # -- seen log (append-only, sharded per round inside the mux write) -----
+    def _seen_dirs(self, upto_round: int) -> list[str]:
+        base = self.ckpt or self._scratch
+        out = []
+        for d in sorted(os.listdir(base)) if os.path.isdir(base) else []:
+            if not d.startswith("round="):
+                continue
+            sub = os.path.join(base, d, "deltas", "tbl=seen")
+            if int(d.split("=")[1]) < upto_round and os.path.isdir(sub):
+                out.append(sub)
+        return out
+
     def _read_seen(self, upto_round: int) -> DataFrame:
         """Seen set visible to round ``upto_round``: rounds < upto_round.
 
-        The round_id filter both defines round visibility and makes resume
-        crash-safe: a partially-written delta from a crashed round is
-        superseded when that round re-runs (duplicate url rows are harmless
-        for anti-join semantics; the result view dedups).
+        Round visibility is enforced at the *path* level (only completed
+        earlier rounds' tbl=seen shards are listed), which also makes
+        resume crash-safe: a partially-written mux from a crashed round is
+        never read (its round re-runs with mode=overwrite, replacing it).
         """
-        if not any(f.endswith(".parquet") for f in os.listdir(self._seen_dir)):
+        dirs = self._seen_dirs(upto_round)
+        if not dirs:
             return self.spark.createDataFrame([], "url string, round_id int")
-        return self.spark.read.parquet(self._seen_dir).filter(
-            F.col("round_id") < F.lit(upto_round)
-        )
+        return self.spark.read.parquet(*dirs).select("url", "round_id")
 
     # -- the driver loop ----------------------------------------------------
     def run(self, seeds: DataFrame, max_rounds: int = 50, resume: bool = False) -> CrawlResult:
@@ -876,34 +907,37 @@ class CrawlEngine:
         deltas: dict[str, list[DataFrame]] = {name: [] for name in _DELTA_ORDER}
 
         if self.ckpt:
-            self._seen_dir = os.path.join(self.ckpt, "seen")
             self._scratch = None
+            base = self.ckpt
         else:
             import tempfile
 
             self._scratch = tempfile.mkdtemp(prefix="crawl_state_")
-            self._seen_dir = os.path.join(self._scratch, "seen")
-        if resume and self.ckpt and os.path.isdir(self.ckpt):
-            # a round is complete iff its frontier dir exists (written last)
-            done = sorted(
-                d for d in os.listdir(self.ckpt)
-                if d.startswith("round=") and os.path.isdir(os.path.join(self.ckpt, d, "frontier"))
-            )
+            base = self._scratch
+        os.makedirs(base, exist_ok=True)
+        round_dirs = sorted(d for d in os.listdir(base) if d.startswith("round="))
+        if resume and self.ckpt:
+            # a round is complete iff its mux write committed (_SUCCESS) —
+            # the single write job per round IS the checkpoint boundary
+            done = [
+                d for d in round_dirs
+                if os.path.isfile(os.path.join(base, d, "deltas", "_SUCCESS"))
+            ]
             if done:
-                last = os.path.join(self.ckpt, done[-1])
-                frontier = spark.read.parquet(os.path.join(last, "frontier"))
-                start_round = int(done[-1].split("=")[1]) + 1
-                if os.path.isdir(self._seen_dir):
-                    self._seen_count = self._read_seen(start_round).count()
+                last_rid = int(done[-1].split("=")[1])
+                frontier = self._read_delta(last_rid, "frontier")
+                start_round = last_rid + 1
+                self._seen_count = self._read_seen(start_round).count()
                 for d in done:  # carry forward prior rounds' outputs
                     rid = int(d.split("=")[1])
                     for name in _DELTA_ORDER:
                         deltas[name].append(self._read_delta(rid, name))
         if start_round == 0:
-            if os.path.isdir(self._seen_dir):
-                shutil.rmtree(self._seen_dir)
+            # fresh start over an existing dir: stale round shards must not
+            # leak into the path-level seen-log listing
+            for d in round_dirs:
+                shutil.rmtree(os.path.join(base, d))
             frontier = self._materialize(self.seed_frontier(seeds), 0, "frontier_seed")
-        os.makedirs(self._seen_dir, exist_ok=True)
 
         r = start_round
         debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
@@ -912,31 +946,29 @@ class CrawlEngine:
             seen = self._read_seen(r)
             tables, seen_delta, frontier_next = self._round(frontier, seen, r)
             tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
+            tables["seen"] = seen_delta
+            tables["frontier"] = frontier_next
             t_build = time.time() - t0
 
-            # persist round outputs; frontier is written LAST — its presence
-            # marks the round complete for resume
+            # Warm the round cache with ONE narrow pass (the parse compute)
+            # before the fan-out write: the 15 mux branches then all hit a
+            # populated cache instead of stampeding the same partitions.
             t1 = time.time()
-            seen_delta = seen_delta.persist()
             delta_n = seen_delta.count()
-            # cap file count: the seen log is re-read every round (and twice
-            # per round by the Bloom verify fork) — hundreds of tiny
-            # per-round files would dominate the scan with listing overhead
-            write_delta = seen_delta.coalesce(4) if self._small_round else seen_delta
-            write_delta.write.mode("append").parquet(self._seen_dir)
             self._seen_count += delta_n
-            t_seen = time.time() - t1
+            t_parse = time.time() - t1
+
+            # ONE write job persists every round output (8 tables + seen
+            # delta + next frontier); its _SUCCESS marks the round complete.
             t1 = time.time()
             out = self._write_deltas(tables, r)
             for name in _DELTA_ORDER:
                 deltas[name].append(out[name])
-            t_deltas = time.time() - t1
-            t1 = time.time()
-            frontier = self._materialize(frontier_next, r, "frontier")
-            t_frontier = time.time() - t1
+            frontier = out["frontier"]
+            t_write = time.time() - t1
 
             # incremental Bloom maintenance (delta merge, never a rebuild
-            # once active)
+            # once active) — fed from the read-back, no recompute
             if self.use_bloom:
                 if self._bloom is None and self._seen_count >= self.bloom_min_seen:
                     self._bloom = seen_ops.ShardedBloom.build(
@@ -946,17 +978,16 @@ class CrawlEngine:
                 elif self._bloom is not None and delta_n > 0:
                     self._bloom = self._bloom.merge(
                         seen_ops.ShardedBloom.build(
-                            seen_delta,
+                            out["seen"],
                             expected_per_shard=self.bloom_capacity_per_shard,
                         )
                     )
-            seen_delta.unpersist()
             for df in getattr(self, "_round_cache", []):
                 df.unpersist()
             if debug:
                 print(
-                    f"[crawl r{r}] build={t_build:.2f}s seen_delta={t_seen:.2f}s "
-                    f"frontier={t_frontier:.2f}s deltas={t_deltas:.2f}s "
+                    f"[crawl r{r}] build={t_build:.2f}s parse={t_parse:.2f}s "
+                    f"write={t_write:.2f}s "
                     f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
                 )
             if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:

@@ -118,15 +118,20 @@ SELECT doc_id, source, n_chars, rn FROM (
 
 
 def q_anti_join_seen(spark, sf):  # J7/U4 — URL-seen anti-membership
+    # "customers with no URGENT order": the seen side is a *filtered*
+    # subset so the anti-join has real survivors (every customer has some
+    # order in the driver tables — anti-joining the full orders table
+    # returns 0 rows, a vacuous check that would stay green even if the
+    # anti-join dropped everything).
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
                   on="c_custkey", how="left_anti").select("c_custkey", "c_name")
 
 
 SQL_ANTI_JOIN_SEEN = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """
 
 
@@ -498,17 +503,20 @@ ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 100
 
 
 def q_seen_except(spark, sf):  # U4 — set difference
+    # customer-keys \ event-user-ids: event user_ids are a strict subset of
+    # customer keys in the driver tables, so this direction is non-empty
+    # (the reverse is 0 rows — a vacuous pass).
     ev = _t(spark, sf, "events")
     c = _t(spark, sf, "customer")
-    return ev.select(F.col("user_id").alias("uid")).distinct().exceptAll(
-        c.select(F.col("c_custkey").alias("uid")).distinct()
+    return c.select(F.col("c_custkey").alias("uid")).distinct().exceptAll(
+        ev.select(F.col("user_id").alias("uid")).distinct()
     )
 
 
 SQL_SEEN_EXCEPT = """
-SELECT DISTINCT user_id AS uid FROM events
-EXCEPT
 SELECT DISTINCT c_custkey AS uid FROM customer
+EXCEPT
+SELECT DISTINCT user_id AS uid FROM events
 """
 
 
@@ -661,8 +669,17 @@ SELECT vec_id, centroid_id AS bucket FROM (
 
 
 def q_embedding_near_dups(spark, sf):  # similarity — cosine near-dup pairs in IVF buckets
+    # The synthetic embeddings carry no natural near-dups (max bucketed
+    # pairwise cosine ≈0.53 at every sf), so a bare threshold query passes
+    # vacuously with 0 rows. Plant deterministic exact copies of the first
+    # 20 vectors (vec_id+100000) INSIDE the query — mirrored in the SQL
+    # twin — so the bucket-join + cosine + threshold pipeline must find
+    # exactly the planted (orig, copy) pairs at a realistic 0.9 cutoff.
     e = _t(spark, sf, "embeddings")
-    res = similarity.embedding_near_dups(e, threshold=0.9)
+    planted = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    res = similarity.embedding_near_dups(e.unionByName(planted), threshold=0.9)
     return res.select("vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -673,11 +690,16 @@ _SQL_COS = (
 )
 
 SQL_EMBEDDING_NEAR_DUPS = f"""
-WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM base WHERE vec_id < 8),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          {_SQL_COS.format(a="e.embedding", b="c.ce")} AS c_cos
-  FROM embeddings e CROSS JOIN cents c
+  FROM base e CROSS JOIN cents c
 ),
 b AS (
   SELECT vec_id, embedding, centroid_id AS bucket FROM (

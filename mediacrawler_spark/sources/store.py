@@ -121,9 +121,15 @@ def write_media_files(
     action, the reference's ``aiofiles.open(...).write`` exactly; no
     per-row Python enters any query plan). Path components are sanitized
     against separators/traversal. Returns the written manifest
-    ``(media_path, n_bytes)`` — persisted next to the media as
-    ``{base_dir}/_manifest`` for lineage, the per-partition counters the
-    north rule asks of every sink.
+    ``(media_path, n_bytes)`` — persisted as a SIBLING of the media tree
+    (``{base_dir}_manifest``, not inside it: a media id sanitizing to
+    '_manifest' must never collide with the manifest dir, and directory
+    scans of base_dir must see only media ids) for lineage, the
+    per-partition counters the north rule asks of every sink. The file
+    writes happen as a side effect of the manifest job; a mid-job failure
+    leaves the manifest absent (never partial — parquet commit protocol),
+    so "files without a manifest" is detectable and the write idempotent
+    to re-run.
     """
     import pandas as pd  # local import: executor-side closure stays light
 
@@ -145,5 +151,6 @@ def write_media_files(
     manifest = media.select(id_col, name_col, content_col).mapInPandas(
         _write, schema="media_path string, n_bytes long"
     )
-    manifest.write.mode("overwrite").parquet(os.path.join(base_dir, "_manifest"))
-    return media.sparkSession.read.parquet(os.path.join(base_dir, "_manifest"))
+    manifest_dir = base_dir.rstrip("/") + "_manifest"
+    manifest.write.mode("overwrite").parquet(manifest_dir)
+    return media.sparkSession.read.parquet(manifest_dir)

@@ -598,7 +598,15 @@ def build_seeds(
         F.lit(0).alias("priority"),
         F.lit(None).cast("string").alias("keyword"),
     )
-    return seeds.unionByName(unknown)
+    # one malformed seed (no scheme → parse_url host is NULL): exercises the
+    # scheduler's null-safe budget key — such rows must still schedule,
+    # miss the fetch-join and land in `failed`, never stall 'open' forever
+    malformed = spark.range(1).select(
+        F.lit("not-a-url").alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(None).cast("string").alias("keyword"),
+    )
+    return seeds.unionByName(unknown).unionByName(malformed)
 
 
 def build_search_seeds(spark: SparkSession, keywords: list[str] | None = None) -> DataFrame:

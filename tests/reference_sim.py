@@ -53,8 +53,14 @@ def classify(url: str) -> str:
     return "content"
 
 
-def host_of(url: str) -> str:
-    return url.split("/")[2]
+def host_of(url: str) -> str | None:
+    """Spark parse_url(url,'HOST') twin: None for malformed URLs (no
+    scheme/authority) — such seeds still get scheduled (null-safe budget
+    key), miss the fetch-join and exhaust retries into ``failed``."""
+    if not url.startswith(("http://", "https://")):
+        return None
+    parts = url.split("/")
+    return parts[2] if len(parts) > 2 and parts[2] else None
 
 
 def note_id_of(url: str) -> str:

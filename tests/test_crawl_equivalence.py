@@ -67,6 +67,15 @@ def test_comments_with_ordering_keys_equal(engine_result, sim_result):
     assert got == sim_result.comments
 
 
+def test_failed_set_equal_including_null_host(engine_result, sim_result):
+    """Exhausted-retry rows match the simulator — in particular the
+    malformed seed (NULL parse_url host) must travel through the scheduler's
+    null-safe budget key into `failed`, not sit 'open' forever."""
+    got = {r["url"] for r in engine_result.failed.collect()}
+    assert got == sim_result.failed
+    assert "not-a-url" in got
+
+
 def test_politeness_budget_never_exceeded(engine_result, spark, corpus):
     _, _, robots = corpus
     budgets = {r["host"]: r["max_per_round"] for r in robots.collect()}

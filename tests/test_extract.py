@@ -125,3 +125,32 @@ def test_video_url_arr_matches_reference_semantics(spark):
     got = {r["i"]: r["urls"] for r in df.select("i", video_url_arr_col(F.col("note")).alias("urls")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == ref_get_video_url_arr(c), (i, got[i])
+
+
+def test_video_url_arr_absent_keys(spark):
+    """Documented deviation: ABSENT keys degrade like '' instead of the
+    reference's quirks (absent snake_case key → '.../None' URL; absent
+    video/consumer struct → AttributeError). Pins the engine's choice."""
+    from mediacrawler_spark.operators.extract import XHS_VIDEO_DDL, video_url_arr_col
+
+    cases = {
+        # absent origin_video_key (reference would emit '.../None'):
+        # falls through to the camelCase key
+        0: ('{"type":"video","video":{"consumer":{"originVideoKey":"cam"},'
+            '"media":{"stream":{"h264":[{"master_url":"https://v/h"}]}}}}',
+            ["http://sns-video-bd.xhscdn.com/cam"]),
+        # both keys absent: falls through to h264 list
+        1: ('{"type":"video","video":{"consumer":{},'
+            '"media":{"stream":{"h264":[{"master_url":"https://v/h"}]}}}}',
+            ["https://v/h"]),
+        # absent video struct entirely (reference raises): empty array
+        2: ('{"type":"video"}', []),
+        # absent h264 list with both keys absent: empty array
+        3: ('{"type":"video","video":{"consumer":{}}}', []),
+    }
+    df = spark.createDataFrame(
+        [(i, j) for i, (j, _) in cases.items()], "i int, j string"
+    ).withColumn("note", F.from_json(F.col("j"), XHS_VIDEO_DDL))
+    got = {r["i"]: r["urls"] for r in df.select("i", video_url_arr_col(F.col("note")).alias("urls")).collect()}
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i])

@@ -108,13 +108,19 @@ def test_media_file_sink_writes_reference_layout(spark, tmp_path):
         ("n1", "b.mp4", b"\x00\x01videobytes"),
         ("n2", "a.jpg", b"other"),
         ("../evil", "x/../y.bin", b"z"),
+        ("_manifest", "m.bin", b"mm"),  # must not collide with the manifest dir
     ]
     df = spark.createDataFrame(rows, "note_id string, file_name string, content binary")
     base = str(tmp_path / "media")
     manifest = write_media_files(df, base)
 
     got = {r["media_path"]: r["n_bytes"] for r in manifest.collect()}
-    assert len(got) == 4
+    assert len(got) == 5
+    # the manifest lives as a SIBLING of the media tree, so a media id
+    # '_manifest' keeps its bytes and base_dir holds only media ids
+    with open(os.path.join(base, "_manifest", "m.bin"), "rb") as f:
+        assert f.read() == b"mm"
+    assert os.path.isdir(base + "_manifest")
     p1 = os.path.join(base, "n1", "a.jpg")
     assert p1 in got and got[p1] == 8
     with open(p1, "rb") as f:
