@@ -271,6 +271,42 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     return votes.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_signatures_md5(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Portable SimHash twin: per-token 64-bit hash derived from the md5
+    hex digest (hex digit b//4, bit b%4) instead of xxhash64 — any ANSI
+    engine reproduces it bit-for-bit, so this variant gets a DuckDB oracle
+    (the xxhash64 variant stays the JVM-fast scale path; same dual-path
+    pattern as MinHash's md5/xxhash64 split)."""
+    from mediacrawler_spark.session import spread
+
+    toks = spread(documents, "doc_id").select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    digits = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+            for d in range(16)
+        ],
+    )
+    votes = digits.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft(1L, 63) wraps to LONG_MIN — the two's-complement bit-63
+        # encoding the SQL twin mirrors explicitly
+        sim = sim + F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
 def simhash_near_dups(documents: DataFrame, n_bands: int = 4) -> DataFrame:
     """Hamming-radius candidates via band equality (any identical 16-bit band)."""
     sigs = simhash_signatures(documents)

@@ -96,11 +96,17 @@ def video_url_arr_col(note: Column) -> Column:
     )
 
 
-# URL-type dispatch (reference S12: judge_zhihu_url, zhihu/help.py:448-467).
+# URL-type dispatch (reference S12: judge_zhihu_url, zhihu/help.py:448-467;
+# tieba's HTML surface adds /p/comment?tid&pid&pn sub panes and /p/<id>?pn=k
+# reply pages, tieba/client.py:198-285).
 def classify_url_col(url: Column) -> Column:
     return (
-        F.when(url.contains("/api/subcomments/"), F.lit("subcomments"))
-        .when(url.contains("/api/comments/"), F.lit("comments"))
+        F.when(url.contains("/p/comment"), F.lit("subcomments"))
+        .when(url.contains("/api/subcomments/"), F.lit("subcomments"))
+        .when(
+            url.contains("/api/comments/") | url.rlike(r"/p/[^/?]+\?pn="),
+            F.lit("comments"),
+        )
         .when(url.contains("/search/"), F.lit("search"))
         .when(url.contains("/posts"), F.lit("creator_posts"))
         .when(url.contains("/fans"), F.lit("fans"))
@@ -150,6 +156,26 @@ def search_cursor_col(platform: Column, page: Column, session_id: Column) -> Col
         .when(platform == "zhihu", F.concat(F.lit("offset="), ((page - 1) * 20).cast("string")))
         .when(platform == "tieba", F.concat(F.lit("pn="), ((page - 1) * 10).cast("string")))
         .otherwise(F.concat(F.lit("page="), pg))
+    )
+
+
+# J2 — per-platform comment-cursor protocols. The reference's first-request
+# cursor per platform:
+#   xhs       cursor=""            (xhs/client.py:344)
+#   weibo     max_id=-1            (weibo/client.py:167)
+#   kuaishou  pcursor=""           (kuaishou/client.py:197)
+#   bilibili  next=0               (bilibili/client.py:254)
+#   douyin    cursor=0             (douyin/client.py:236)
+#   zhihu     offset=""            (zhihu/client.py:264-302)
+# Subsequent cursors come from the response (extracted per protocol in
+# _parse_cols) and are carried verbatim on frontier rows — the sequential
+# simulator computes the same strings and the equivalence test asserts
+# string equality on comment walks.
+def initial_comment_cursor_col(platform: Column) -> Column:
+    return (
+        F.when(platform == "weibo", F.lit("-1"))
+        .when(platform.isin("douyin", "bilibili"), F.lit("0"))
+        .otherwise(F.lit(""))
     )
 
 
@@ -255,45 +281,21 @@ def _zhihu_state_col(raw: Column) -> Column:
 _TIEBA_DDL = "author struct<user_id:string, user_name:string>"
 
 
-_CONTENT_COLS: list | None = None
 
 
-def _content_cols() -> list:
-    """Column list for the content projection, built once per process.
 
-    The expression tree is ~150 py4j calls; the crawl loop calls
-    ``extract_content`` every round, so caching the unresolved Columns
-    (they bind by name at analysis time) removes per-round driver latency.
-    """
-    global _CONTENT_COLS
-    if _CONTENT_COLS is not None:
-        return _CONTENT_COLS
-    html_str = F.decode(F.col("html"), "UTF-8")
-    plat = platform_col(F.col("host"))
-    raw = _state_json_col(html_str, plat)
-    state = F.from_json(raw, STATE_DDL)
-    zhihu_state = _zhihu_state_col(raw)
-    tieba_state = F.from_json(raw, _TIEBA_DDL)
-
-    note_id = F.element_at(F.split(F.element_at(F.split(F.col("url"), r"\?"), 1), "/"), -1)
-    eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
-    _CONTENT_COLS = [
-        F.col("url"),
-        plat.alias("platform"),
-        F.col("host"),
-        # reference falls back to URL-derived id (xhs/help.py:294-306)
-        F.coalesce(eff["note_id"], note_id).alias("note_id"),
-        eff["title"].alias("title"),
-        eff["desc"].alias("desc"),
-        F.col("text"),
-        F.when(plat == "tieba", tieba_state["author"]["user_id"])
-        .otherwise(eff["user"]["userId"]).alias("user_id"),
-        F.when(plat == "tieba", tieba_state["author"]["user_name"])
-        .otherwise(eff["user"]["nickname"]).alias("nickname"),
-        eff["interactInfo"]["likedCount"].alias("liked_count"),
-        eff["time"].alias("time"),
+def _lineage_defaults() -> list:
+    """Literal frontier-lineage columns so standalone extractors can ride
+    the one-pass ``parse_round`` column tree (single source of truth for
+    every per-platform page shape — standalone and in-loop can't drift)."""
+    return [
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.lit(None).cast("int").alias("page"),
+        F.lit(0).alias("item_idx"),
+        F.lit(0).alias("cursor_seq"),
     ]
-    return _CONTENT_COLS
 
 
 def extract_content(pages: DataFrame) -> DataFrame:
@@ -301,38 +303,21 @@ def extract_content(pages: DataFrame) -> DataFrame:
 
     Expects columns url, host, html (binary), text. Emits the CONTENT
     field set minus ordering/lineage (attached by the crawl loop).
-    """
-    return pages.select(*_content_cols())
-
-
-_COMMENT_COLS: tuple | None = None
-
-
-def _comment_cols() -> tuple:
-    global _COMMENT_COLS
-    if _COMMENT_COLS is not None:
-        return _COMMENT_COLS
-    note_id = F.regexp_extract(F.col("url"), r"/api/(?:sub)?comments/([^?]+)", 1)
-    kind = classify_url_col(F.col("url"))
-    stage1 = [
-        F.col("url"),
-        F.col("host"),
-        kind.alias("kind"),
-        note_id.alias("target_id"),
-        F.col("_page.has_more").alias("has_more"),
-        F.col("_page.cursor").alias("next_cursor"),
-        F.posexplode_outer(F.col("_page.comments")).alias("item_idx", "c"),
-    ]
-    stage2 = [
-        F.col("url"), F.col("host"), F.col("kind"), F.col("target_id"),
-        F.col("has_more"), F.col("next_cursor"), F.col("item_idx"),
-        F.col("c.id").alias("comment_id"),
-        F.col("c.content").alias("content"),
-        F.col("c.create_time").alias("create_time"),
-        F.col("c.sub_comment_count").alias("sub_comment_count"),
-    ]
-    _COMMENT_COLS = (stage1, stage2)
-    return _COMMENT_COLS
+    Thin view over ``parse_round`` — one shared per-platform column tree
+    (incl. the tieba thread-HTML extractor surface)."""
+    src = pages.select("url", "host", "html", "text", *_lineage_defaults())
+    c = F.col("content")
+    return parse_round(src).filter(F.col("kind") == "content").select(
+        "url", "platform", "host",
+        c["note_id"].alias("note_id"),
+        c["title"].alias("title"),
+        c["desc"].alias("desc"),
+        "text",
+        c["user_id"].alias("user_id"),
+        c["nickname"].alias("nickname"),
+        c["liked_count"].alias("liked_count"),
+        c["time"].alias("time"),
+    )
 
 
 def extract_comment_pages(pages: DataFrame) -> DataFrame:
@@ -342,12 +327,28 @@ def extract_comment_pages(pages: DataFrame) -> DataFrame:
     deterministic ordering key W4); page-level ``has_more``/``next_cursor``
     are carried on every row for the frontier-emission step (J2/J3
     iterative-join semantics, media_platform/xhs/client.py:325-428).
+    Thin view over ``parse_round``, so every per-platform comment envelope
+    + cursor protocol (J2 variants incl. tieba ?pn HTML pages) applies.
     """
-    stage1, stage2 = _comment_cols()
-    parsed = pages.withColumn(
-        "_page", F.from_json(F.decode(F.col("html"), "UTF-8"), COMMENT_PAGE_DDL)
+    src = pages.select(
+        "url", "host", "html",
+        F.lit(None).cast("string").alias("text"),
+        *_lineage_defaults(),
     )
-    return parsed.select(*stage1).select(*stage2)
+    ex = parse_round(src).filter(F.col("cpage").isNotNull()).select(
+        "url", "host", "kind",
+        F.col("cpage.target_id").alias("target_id"),
+        F.col("cpage.has_more").alias("has_more"),
+        F.col("cpage.next_cursor").alias("next_cursor"),
+        F.posexplode_outer(F.col("cpage.comments")).alias("item_idx", "c"),
+    )
+    return ex.select(
+        "url", "host", "kind", "target_id", "has_more", "next_cursor", "item_idx",
+        F.col("c.id").alias("comment_id"),
+        F.col("c.content").alias("content"),
+        F.col("c.create_time").alias("create_time"),
+        F.col("c.sub_comment_count").alias("sub_comment_count"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -403,49 +404,193 @@ def _parse_cols(comment_order: str = "default") -> list:
     if comment_order in _PARSE_COLS:
         return _PARSE_COLS[comment_order]
     from mediacrawler_spark.functions.text import gender_col
+    from mediacrawler_spark.operators import tieba as T
+    from mediacrawler_spark.operators import zhihu as Z
 
     url = F.col("url")
     kind = classify_url_col(url)
     html_str = F.decode(F.col("html"), "UTF-8")
     plat = platform_col(F.col("host"))
+    is_tieba = plat == "tieba"
+    is_content = kind == "content"
+    is_comments = kind == "comments"
+    is_subc = kind == "subcomments"
+    note_id_from_url = F.element_at(F.split(F.element_at(F.split(url, r"\?"), 1), "/"), -1)
+    empty_sarr = F.array().cast("array<string>")
+
+    # --- tieba HTML surface, in-loop (S6/S10 + E2/E17) ---
+    # The real regex-DOM extractors run as Arrow UDFs. Their inputs are
+    # NULL-guarded per kind JVM-side: pandas UDFs are hoisted out of
+    # CaseWhen by ExtractPythonUDFs and would otherwise receive every
+    # page's html — with the guard, non-tieba rows ship as Arrow nulls
+    # (near-zero bytes) and the UDF returns None immediately.
+    tb_thread_html = F.when((is_content | is_comments) & is_tieba, html_str)
+    tpage = F.from_json(
+        T.thread_page_udf(tb_thread_html, note_id_from_url), T.THREAD_PAGE_DDL
+    )
+    tb_tid = F.regexp_extract(url, r"[?&]tid=([^&]+)", 1)
+    tb_pid = F.regexp_extract(url, r"[?&]pid=([^&]+)", 1)
+    tb_sub_html = F.when(is_subc & is_tieba, html_str)
+    tsubs = F.from_json(
+        T.sub_comment_page_udf(tb_sub_html, tb_tid, tb_pid), T.SUB_COMMENT_PAGE_DDL
+    )
+    tb_search_html = F.when((kind == "search") & is_tieba, html_str)
+    tb_snotes = F.from_json(T.search_notes_udf(tb_search_html), T.SEARCH_NOTE_DDL)
 
     # --- content branch (P1 + E2–E5 state-blob extraction) ---
     raw = _state_json_col(html_str, plat)
     state = F.from_json(raw, STATE_DDL)
     zhihu_state = _zhihu_state_col(raw)
-    tieba_state = F.from_json(raw, _TIEBA_DDL)
-    note_id_from_url = F.element_at(F.split(F.element_at(F.split(url, r"\?"), 1), "/"), -1)
     eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
-    content_struct = F.struct(
+    # tieba content = thread-detail HTML through the real extractor; the
+    # TiebaNote has no numeric user id / liked count — user_id comes from
+    # the author link's id param, liked/time stay NULL (full field set is
+    # in the tieba_notes table via `tnote`).
+    tb_note = tpage["note"]
+    content_struct = F.when(is_tieba, F.struct(
+        tb_note["note_id"].alias("note_id"),
+        tb_note["title"].alias("title"),
+        tb_note["desc"].alias("desc"),
+        F.regexp_extract(tb_note["user_link"], r"[?&]id=([^&]+)", 1).alias("user_id"),
+        tb_note["user_nickname"].alias("nickname"),
+        F.lit(None).cast("string").alias("liked_count"),
+        F.lit(None).cast("long").alias("time"),
+    )).otherwise(F.struct(
         F.coalesce(eff["note_id"], note_id_from_url).alias("note_id"),
         eff["title"].alias("title"),
         eff["desc"].alias("desc"),
-        F.when(plat == "tieba", tieba_state["author"]["user_id"])
-        .otherwise(eff["user"]["userId"]).alias("user_id"),
-        F.when(plat == "tieba", tieba_state["author"]["user_name"])
-        .otherwise(eff["user"]["nickname"]).alias("nickname"),
+        eff["user"]["userId"].alias("user_id"),
+        eff["user"]["nickname"].alias("nickname"),
         eff["interactInfo"]["likedCount"].alias("liked_count"),
         eff["time"].alias("time"),
+    ))
+    n_com = F.when(
+        ~is_tieba,
+        F.nullif(F.regexp_extract(html_str, r"comments:(\d+)", 1), F.lit("")).cast("int"),
     )
-    n_com = F.nullif(F.regexp_extract(html_str, r"comments:(\d+)", 1), F.lit("")).cast("int")
 
     # --- comment cursor branch (J2/J3; O2 order mode) ---
-    cp = F.from_json(html_str, COMMENT_PAGE_DDL)
+    # Per-platform envelopes + cursor protocols (reference loops cited at
+    # initial_comment_cursor_col). Sub-comment pages keep the xhs envelope
+    # on every non-tieba platform (the J2 item is the top-level protocol;
+    # per-platform sub protocols are a documented simplification).
+    _CMT = "array<struct<id:string,content:string,create_time:long,sub_comment_count:int>>"
+    xhs_cp = F.from_json(html_str, f"has_more boolean, cursor string, comments {_CMT}")
+    dy_cp = F.from_json(html_str, f"has_more int, cursor long, comments {_CMT}")
+    wb_cp = F.from_json(html_str, f"max_id long, data {_CMT}")
+    ks_cp = F.from_json(
+        html_str, f"visionCommentList struct<pcursor:string, rootComments:{_CMT}>"
+    )
+    bl_cp = F.from_json(html_str, f"cursor struct<next:long,is_end:boolean>, replies {_CMT}")
+    zh_cp = F.from_json(html_str, Z.ZHIHU_COMMENT_PAGE_DDL)
+    # P5 type filter (zhihu/help.py:227-228) before the generic mapping;
+    # the full comment structs ride along in `zcm` for the
+    # zhihu_comments output table.
+    zh_data = F.filter(zh_cp["data"], lambda c: c["type"] == "comment")
+    zh_generic = F.transform(zh_data, lambda c: F.struct(
+        c["id"].alias("id"),
+        c["content"].alias("content"),
+        c["created_time"].alias("create_time"),
+        c["child_comment_count"].alias("sub_comment_count"),
+    ))
+    tb_cm_generic = F.transform(tpage["comments"], lambda c: F.struct(
+        c["comment_id"].alias("id"),
+        c["content"].alias("content"),
+        F.lit(None).cast("long").alias("create_time"),
+        c["sub_comment_count"].alias("sub_comment_count"),
+    ))
+    tb_sub_generic = F.transform(tsubs, lambda s: F.struct(
+        s["comment_id"].alias("id"),
+        s["content"].alias("content"),
+        F.lit(None).cast("long").alias("create_time"),
+        F.lit(0).alias("sub_comment_count"),
+    ))
+    cm_has_more = (
+        F.when(is_tieba, F.lit(False))  # tieba pn pages are pre-seeded from total_replay_page
+        .when(is_subc, xhs_cp["has_more"])
+        .when(plat == "douyin", dy_cp["has_more"] == 1)
+        .when(plat == "weibo", wb_cp["max_id"] != 0)
+        .when(plat == "kuaishou", ks_cp["visionCommentList"]["pcursor"] != "no_more")
+        .when(plat == "bilibili", ~bl_cp["cursor"]["is_end"])
+        .when(plat == "zhihu", ~zh_cp["paging"]["is_end"])
+        .otherwise(xhs_cp["has_more"])
+    )
+    cm_next_cursor = (
+        F.when(is_tieba, F.lit(None).cast("string"))
+        .when(is_subc, xhs_cp["cursor"])
+        .when(plat == "douyin", dy_cp["cursor"].cast("string"))
+        .when(plat == "weibo", wb_cp["max_id"].cast("string"))
+        .when(plat == "kuaishou", ks_cp["visionCommentList"]["pcursor"])
+        .when(plat == "bilibili", bl_cp["cursor"]["next"].cast("string"))
+        .when(plat == "zhihu",
+              F.regexp_extract(zh_cp["paging"]["next"], r"[?&]offset=([^&]+)", 1))
+        .otherwise(xhs_cp["cursor"])
+    )
+    cm_arr = (
+        F.when(is_tieba, F.when(is_subc, tb_sub_generic).otherwise(tb_cm_generic))
+        .when(is_subc, xhs_cp["comments"])
+        .when(plat == "douyin", dy_cp["comments"])
+        .when(plat == "weibo", wb_cp["data"])
+        .when(plat == "kuaishou", ks_cp["visionCommentList"]["rootComments"])
+        .when(plat == "bilibili", bl_cp["replies"])
+        .when(plat == "zhihu", zh_generic)
+        .otherwise(xhs_cp["comments"])
+    )
+    # O2 re-rank skips tieba (no numeric create_time on the HTML surface)
+    cm_arr = F.when(is_tieba, cm_arr).otherwise(_comment_order_arr(cm_arr, comment_order))
+    api_target = F.regexp_extract(url, r"/api/(?:sub)?comments/([^?]+)", 1)
+    cm_target = F.when(is_tieba, F.when(is_subc, tb_pid).otherwise(note_id_from_url)).otherwise(api_target)
+    # the page's note id, resolved per protocol: generic sub targets are
+    # parent-comment ids shaped '<note>c<i>'; tieba subs carry tid in the URL
+    cm_note_id = (
+        F.when(is_tieba, F.when(is_subc, tb_tid).otherwise(note_id_from_url))
+        .when(is_subc, F.regexp_extract(api_target, r"^(.*?)c\d+$", 1))
+        .otherwise(api_target)
+    )
     cpage_struct = F.struct(
-        F.regexp_extract(url, r"/api/(?:sub)?comments/([^?]+)", 1).alias("target_id"),
-        cp["has_more"].alias("has_more"),
-        cp["cursor"].alias("next_cursor"),
-        _comment_order_arr(cp["comments"], comment_order).alias("comments"),
+        cm_target.alias("target_id"),
+        cm_note_id.alias("note_id"),
+        cm_has_more.alias("has_more"),
+        cm_next_cursor.alias("next_cursor"),
+        cm_arr.alias("comments"),
     )
 
-    # --- search branch (S1–S7) ---
+    # --- search branch (S1–S7; P2/U3 weibo card_group; S6 tieba HTML) ---
     sp = F.from_json(html_str, SEARCH_PAGE_DDL)
+    # weibo: filter_search_result_card (weibo/help.py:20-36) — keep type-9
+    # cards AND type-9 card_group members (a card can contribute both),
+    # order preserved card-then-group; mblog presence gates (core.py:156-158)
+    wb_sp = F.from_json(html_str, (
+        "cards array<struct<card_type:int, mblog:struct<url:string>, "
+        "card_group:array<struct<card_type:int, mblog:struct<url:string>>>>>"
+    ))
+    wb_urls = F.flatten(F.transform(wb_sp["cards"], lambda c: F.concat(
+        F.when((c["card_type"] == 9) & c["mblog"]["url"].isNotNull(),
+               F.array(c["mblog"]["url"])).otherwise(empty_sarr),
+        F.when(c["card_group"].isNotNull(), F.transform(
+            F.filter(c["card_group"],
+                     lambda g: (g["card_type"] == 9) & g["mblog"]["url"].isNotNull()),
+            lambda g: g["mblog"]["url"],
+        )).otherwise(empty_sarr),
+    )))
+    # tieba: the search extractor emits reference-absolute note URLs
+    # (TIEBA_URL prefix, tieba/help.py:33-61); the synthetic resolver's
+    # address space re-bases them (fixture-harness bridge, not engine
+    # semantics — hrefs in the corpus are full corpus URLs)
+    tb_urls = F.transform(tb_snotes, lambda n: F.regexp_replace(
+        n["note_url"], r"^https://tieba\.baidu\.com(?=https?://)", ""))
+    s_note_urls = (
+        F.when(is_tieba, tb_urls)
+        .when(plat == "weibo", wb_urls)
+        .otherwise(sp["note_urls"])
+    )
+    s_has_more = F.when(is_tieba, html_str.contains('<a class="next"')).otherwise(sp["has_more"])
     spage_struct = F.struct(
         F.regexp_extract(url, r"/search/([^?]+)", 1).alias("search_kw"),
         F.regexp_extract(url, r"page=(\d+)", 1).cast("int").alias("search_page"),
-        sp["has_more"].alias("has_more"),
+        s_has_more.alias("has_more"),
         sp["session_id"].alias("session_id"),
-        sp["note_urls"].alias("note_urls"),
+        s_note_urls.alias("note_urls"),
     )
 
     # --- creator profile branch (S13 + E13 per-platform gender maps) ---
@@ -489,7 +634,6 @@ def _parse_cols(comment_order: str = "default") -> list:
         dp["items"].alias("items"),
     )
 
-    is_content = kind == "content"
     _PARSE_COLS[comment_order] = cols = [
         url, F.col("host"), plat.alias("platform"), kind.alias("kind"),
         F.col("priority"), F.col("depth"), F.col("keyword"), F.col("page"),
@@ -497,12 +641,22 @@ def _parse_cols(comment_order: str = "default") -> list:
         F.when(is_content, F.col("text")).alias("text"),
         F.when(is_content, n_com).alias("n_comments"),
         F.when(is_content, content_struct).alias("content"),
-        F.when(kind.isin("comments", "subcomments"), cpage_struct).alias("cpage"),
+        # tieba detail pages carry their page-1 parent comments on the
+        # content row's cpage (the reference parses comments from the same
+        # fetched thread page, tieba/core.py:194-205)
+        F.when(
+            kind.isin("comments", "subcomments") | (is_tieba & is_content),
+            cpage_struct,
+        ).alias("cpage"),
         F.when(kind == "search", spage_struct).alias("spage"),
         F.when(kind == "creator", creator_struct).alias("creator"),
         F.when(kind == "creator_posts", ppage_struct).alias("ppage"),
         F.when(kind.isin("fans", "followings"), fpage_struct).alias("fpage"),
         F.when(kind == "dynamics", dpage_struct).alias("dpage"),
+        # full-fidelity side channels for the tieba_notes / zhihu_comments
+        # output tables
+        F.when(is_tieba & is_content, tpage["note"]).alias("tnote"),
+        F.when(is_comments & (plat == "zhihu"), zh_data).alias("zcm"),
     ]
     return cols
 

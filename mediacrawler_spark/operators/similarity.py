@@ -87,6 +87,73 @@ def assign_ivf_buckets(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 8, n_iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, cosine assignment.
+
+    Init = the first ``n_centroids`` vectors by vec_id (deterministic).
+    Each iteration is two narrow distributed steps — no driver collect:
+
+    1. assign: broadcast the k×dim centroid table, argmax-cosine per vector
+       (``max_by`` carries the assignment through one map-side-combinable
+       aggregate keyed on vec_id);
+    2. update: ``groupBy(centroid_id)`` with one ``avg`` per dimension —
+       64 partial-aggregable columns, so the shuffle moves k×dim doubles
+       per partition, not the vectors.
+
+    A cluster that loses every member simply drops out (deterministic; the
+    assignment step then uses fewer buckets) — at corpus scale with k≪n
+    this never fires. Returns (centroid_id, c_emb array<double>).
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c_emb"),
+    )
+    for _ in range(n_iters):
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "embedding",
+                F.col("centroid_id"),
+                cosine_col(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("centroid_id", "embedding"),
+                    F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("tb")),
+                ).alias("_a")
+            )
+            .select(F.col("_a.centroid_id").alias("centroid_id"), F.col("_a.embedding").alias("embedding"))
+        )
+        cents = assigned.groupBy("centroid_id").agg(
+            F.array(*[
+                F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
+            ]).alias("c_emb")
+        )
+    return cents
+
+
+def assign_to_centroids(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine bucket assignment against an explicit centroid table
+    (the k-means twin of ``assign_ivf_buckets``'s first-k shortcut)."""
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "centroid_id",
+            cosine_col(F.col("embedding"), F.col("c_emb")).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("tb")),
+            ).alias("bucket")
+        )
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids: int = 8) -> DataFrame:
     """Approximate top-k: probe only the query's centroid bucket."""
     bucketed = assign_ivf_buckets(embeddings, n_centroids)

@@ -100,6 +100,29 @@ def _first(pattern: str, s: str, group: int = 1, flags: int = re.DOTALL) -> str:
     return m.group(group) if m else ""
 
 
+def _balanced_inner(s: str, open_pat: str, tag: str) -> str:
+    """Inner HTML of the first element whose open tag matches ``open_pat``,
+    with NESTING handled: the close position is found by tracking the depth
+    of ``<tag``/``</tag>`` pairs, exactly like the reference's xpath node
+    text does natively. The previous non-greedy ``(.*?)</tag>`` capture
+    truncated the block at the *first* nested close tag — any nested
+    ``</div>``/``</ul>`` inside a thread list or post body cut it short."""
+    m = re.search(open_pat, s, re.DOTALL)
+    if not m:
+        return ""
+    start = m.end()
+    depth = 1
+    token = re.compile(rf"<{tag}\b|</{tag}\s*>", re.IGNORECASE)
+    for t in token.finditer(s, start):
+        if t.group(0).startswith("</"):
+            depth -= 1
+            if depth == 0:
+                return s[start:t.start()]
+        else:
+            depth += 1
+    return s[start:]
+
+
 # -- the six extractors (row-wise; each doubles as the test oracle) ---------
 
 def extract_search_note_list(page: str) -> list[dict]:
@@ -113,7 +136,7 @@ def extract_search_note_list(page: str) -> list[dict]:
         out.append({
             "note_id": _first(r'data-tid="([^"]*)"', title_a).strip(),
             "title": _first(r">([^<]*)</a>", title_a).strip(),
-            "desc": _first(r'<div class="p_content"[^>]*>(.*?)</div>', b).strip(),
+            "desc": _balanced_inner(b, r'<div class="p_content"[^>]*>', "div").strip(),
             "note_url": TIEBA_URL + _first(r'href="([^"]*)"', title_a),
             "user_nickname": _first(r"<font>(.*?)</font>", home_a).strip(),
             "user_link": TIEBA_URL + _first(r'href="([^"]*)"', home_a),
@@ -130,7 +153,7 @@ def extract_tieba_note_list(page: str) -> list[dict]:
     page = page.replace("<!--", "")  # help.py:73 comment-strip
     tieba_name = _first(r'<a class="card_title_fname"[^>]*>(.*?)</a>', page).strip()
     tieba_link = TIEBA_URL + _first(r'<a class="card_title_fname"[^>]*href="([^"]*)"', page)
-    body = _first(r'<ul id="thread_list">(.*?)</ul>', page)
+    body = _balanced_inner(page, r'<ul id="thread_list">', "ul")
     out = []
     for b in _blocks(body, "<li "):
         field = parse_data_field("<li " + b[: b.find(">") + 1])
@@ -140,8 +163,8 @@ def extract_tieba_note_list(page: str) -> list[dict]:
         out.append({
             "note_id": note_id,
             "title": _first(r'<a class="j_th_tit "[^>]*>(.*?)</a>', b).strip(),
-            "desc": _first(
-                r'<div class="threadlist_abs threadlist_abs_onlyline ">(.*?)</div>', b
+            "desc": _balanced_inner(
+                b, r'<div class="threadlist_abs threadlist_abs_onlyline ">', "div"
             ).strip(),
             "note_url": TIEBA_URL + f"/p/{note_id}",
             "user_link": TIEBA_URL + _first(
@@ -160,10 +183,10 @@ def extract_note_detail(page: str) -> dict:
     only_view = _first(r'id="lzonly_cntn"[^>]*href="([^"]*)"', page).strip()
     note_id = only_view.split("?")[0].split("/")[-1]
     tieba_name = _first(r'<a class="card_title_fname"[^>]*>(.*?)</a>', page).strip()
-    first_floor = _first(r'<div class="p_postlist">(.*?)</div>', page) or page
+    first_floor = _balanced_inner(page, r'<div class="p_postlist">', "div") or page
     nums = re.findall(
         r'<span class="red">(.*?)</span>',
-        _first(r'<li class="l_reply_num">(.*?)</li>', page),
+        _balanced_inner(page, r'<li class="l_reply_num">', "li"),
     )
     ip, pub = extract_ip_and_pub_time(
         _first(r'(<div class="post-tail-wrap">.*?</div>)', page)
@@ -247,7 +270,7 @@ def extract_note_sub_comments(page: str, parent: dict) -> list[dict]:
         out.append({
             "comment_id": str(field.get("spid")),
             "content": extract_text_py(
-                _first(r'(<span class="lzl_content_main">.*?</span>)', b)
+                _balanced_inner(b, r'<span class="lzl_content_main">', "span")
             ),
             "user_link": _first(r'href="([^"]*)"', user_a),
             "user_nickname": field.get("showname"),
@@ -298,6 +321,62 @@ def extract_thread_ids_from_creator_page(page: str) -> list[str]:
         if href:
             ids.append(href.split("?")[0].split("/")[-1])
     return ids
+
+
+# -- in-loop composite extractors (S6/S10 wired into CrawlEngine) ------------
+# The reference's tieba crawl IS these extractors (tieba/core.py:113-205):
+# a thread page (/p/{id} detail and its ?pn=k reply pages) yields the note
+# (detail only) plus that page's first-level comments; a sub-comment pane
+# (/p/comment?tid&pid&pn) yields second-level comments. One UDF per page
+# shape, returning a JSON blob decoded JVM-side by from_json.
+
+def extract_thread_page(page: str, note_id: str) -> dict:
+    """Thread page → {note, comments}: extract_note_detail +
+    extract_note_parent_comments in one pass (the reference calls them on
+    the same fetched page, tieba/core.py:194-205 + client.py:198-235)."""
+    return {
+        "note": extract_note_detail(page),
+        "comments": extract_note_parent_comments(page, note_id),
+    }
+
+
+def extract_sub_comment_page(page: str, tid: str, pid: str) -> list[dict]:
+    """Sub-comment pane → second-level comments; the parent linkage fields
+    the reference threads through ``parent_comment`` (help.py:172-205) are
+    reconstructed from the page URL's tid/pid params."""
+    parent = {
+        "comment_id": pid,
+        "note_id": tid,
+        "note_url": TIEBA_URL + f"/p/{tid}",
+        "tieba_id": None,
+        "tieba_name": None,
+        "tieba_link": None,
+    }
+    return extract_note_sub_comments(page, parent)
+
+
+@pandas_udf(StringType())
+def thread_page_udf(html_col: pd.Series, note_id: pd.Series) -> pd.Series:
+    def run(v, nid):
+        if isinstance(v, (bytes, bytearray)):
+            v = v.decode("utf-8")
+        if not v:
+            return None
+        return json.dumps(extract_thread_page(v, nid), ensure_ascii=False)
+
+    return pd.Series([run(v, n) for v, n in zip(html_col, note_id)])
+
+
+@pandas_udf(StringType())
+def sub_comment_page_udf(html_col: pd.Series, tid: pd.Series, pid: pd.Series) -> pd.Series:
+    def run(v, t, p):
+        if isinstance(v, (bytes, bytearray)):
+            v = v.decode("utf-8")
+        if not v:
+            return None
+        return json.dumps(extract_sub_comment_page(v, t, p), ensure_ascii=False)
+
+    return pd.Series([run(v, t, p) for v, t, p in zip(html_col, tid, pid)])
 
 
 # -- Arrow UDF bridge (JSON-array strings, exploded JVM-side) ---------------
@@ -366,6 +445,17 @@ CREATOR_DDL = (
     "struct<user_id:string,user_name:string,nickname:string,avatar:string,"
     "gender:string,ip_location:string,follows:string,fans:string,"
     "registration_duration:string>"
+)
+
+_NOTE_STRUCT = NOTE_DETAIL_DDL  # alias: the full TiebaNote field set
+
+THREAD_PAGE_DDL = f"struct<note:{_NOTE_STRUCT},comments:{PARENT_COMMENT_DDL}>"
+
+SUB_COMMENT_PAGE_DDL = (
+    "array<struct<comment_id:string,content:string,user_link:string,"
+    "user_nickname:string,user_avatar:string,publish_time:string,"
+    "parent_comment_id:string,note_id:string,note_url:string,"
+    "tieba_id:string,tieba_name:string,tieba_link:string>>"
 )
 
 

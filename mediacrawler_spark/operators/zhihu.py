@@ -107,6 +107,106 @@ def _kernel(c: Column) -> Column:
     return extract_text_udf(c)
 
 
+# ---------------------------------------------------------------------------
+# E3 comments — the reference's per-comment extractor surface
+# (zhihu/help.py:213-298): type=="comment" filter, reply_comment_id,
+# kernel-cleaned content, ip_location from the comment_tag list's ip_info
+# entry, like/dislike defaulting, child_comment_count, and the same
+# author member-fallback sub-extraction as contents.
+
+ZHIHU_COMMENT_DDL = (
+    f"struct<type:string,id:string,reply_comment_id:string,content:string,"
+    f"created_time:bigint,comment_tag:array<struct<type:string,text:string>>,"
+    f"child_comment_count:int,like_count:int,dislike_count:int,author:{_AUTHOR}>"
+)
+
+ZHIHU_COMMENT_PAGE_DDL = (
+    f"paging struct<is_end:boolean,next:string>, data array<{ZHIHU_COMMENT_DDL}>"
+)
+
+
+def comment_ip_location_col(tags: Column) -> Column:
+    """_extract_comment_ip_location (help.py:262-279): first ip_info tag's
+    text, '' when absent."""
+    ip = F.filter(tags, lambda t: t["type"] == "ip_info")
+    # try_element_at: ANSI element_at throws on the empty no-ip-tag array
+    return F.coalesce(F.try_element_at(ip, F.lit(1))["text"], F.lit(""))
+
+
+def zhihu_comment_cols(c: Column) -> list[Column]:
+    """Column projection of _extract_comment (help.py:232-260) over a
+    struct matching ZHIHU_COMMENT_DDL. content passes through the
+    byte-identical kernel; like/dislike falsy values default to 0 (the
+    reference's ``x if x else 0`` zeroes None AND 0 alike)."""
+    return [
+        c["id"].alias("comment_id"),
+        c["reply_comment_id"].alias("parent_comment_id"),
+        _kernel(F.coalesce(c["content"], F.lit(""))).alias("content"),
+        c["created_time"].alias("publish_time"),
+        comment_ip_location_col(F.coalesce(c["comment_tag"], F.array())).alias("ip_location"),
+        c["child_comment_count"].alias("sub_comment_count"),
+        F.coalesce(F.nullif(c["like_count"], F.lit(0)), F.lit(0)).alias("like_count"),
+        F.coalesce(F.nullif(c["dislike_count"], F.lit(0)), F.lit(0)).alias("dislike_count"),
+    ]
+
+
+def extract_zhihu_comments(pages: DataFrame, json_col: str = "body",
+                           content_id_col: str = "content_id",
+                           content_type_col: str = "content_type") -> DataFrame:
+    """Reference-shaped comment-page JSON → ZhihuComment rows.
+
+    Input columns: url, <json_col> (the root-comments page JSON:
+    ``{"paging": {...}, "data": [comment, ...]}``), plus the parent
+    content's id/type (threaded through like the reference's
+    ``page_content`` arg). Non-comment rows (type != 'comment') are
+    dropped (help.py:226-228, P5)."""
+    page = F.from_json(F.col(json_col), ZHIHU_COMMENT_PAGE_DDL)
+    exploded = pages.select(
+        "url",
+        F.col(content_id_col).alias("content_id"),
+        F.col(content_type_col).alias("content_type"),
+        F.posexplode_outer(page["data"]).alias("item_idx", "c"),
+    ).filter(F.col("c")["type"] == "comment")
+    c = F.col("c")
+    return exploded.select(
+        "url", "item_idx", "content_id", "content_type",
+        *zhihu_comment_cols(c),
+        *_author_cols(c["author"]),
+    )
+
+
+def extract_comment_py(comment: dict, content_id: str, content_type: str) -> dict:
+    """Row-wise oracle: direct port of _extract_comment + the author
+    member fallback (zhihu/help.py:186-260)."""
+    from mediacrawler_spark.functions.text import extract_text_py
+
+    def ip_loc(tags):
+        for ct in tags or []:
+            if ct.get("type") == "ip_info":
+                return ct.get("text")
+        return ""
+
+    author = comment.get("author") or {}
+    if not author.get("id"):
+        author = author.get("member") or {}
+    return {
+        "comment_id": str(comment.get("id", "")),
+        "parent_comment_id": comment.get("reply_comment_id"),
+        "content": extract_text_py(comment.get("content") or ""),
+        "publish_time": comment.get("created_time"),
+        "ip_location": ip_loc(comment.get("comment_tag", [])),
+        "sub_comment_count": comment.get("child_comment_count"),
+        "like_count": comment.get("like_count") if comment.get("like_count") else 0,
+        "dislike_count": comment.get("dislike_count") if comment.get("dislike_count") else 0,
+        "content_id": content_id,
+        "content_type": content_type,
+        "user_id": author.get("id"),
+        "user_link": ZHIHU_URL + "/people/" + author["url_token"] if author.get("url_token") is not None else None,
+        "user_nickname": author.get("name"),
+        "user_avatar": author.get("avatar_url"),
+    }
+
+
 def extract_zhihu_contents(pages: DataFrame, json_col: str = "body") -> DataFrame:
     """Content JSON (one entity per row, reference-shaped) + url →
     unified ZhihuContent rows, dispatched by URL type.

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from mediacrawler_spark.functions.text import url_note_id_col
+from mediacrawler_spark.functions.text import extract_text_udf, url_note_id_col
 from mediacrawler_spark.operators import extract as X
 from mediacrawler_spark.operators import scheduler as sched
 from mediacrawler_spark.operators import seen as seen_ops
@@ -122,6 +122,25 @@ DELTA_DDL = {
         "round_id int, host string, scheduled bigint, fetched bigint, parsed bigint, "
         "failed bigint, deduped bigint"
     ),
+    # S10 in-loop — full TiebaNote field set from thread-detail pages
+    # (model/m_baidu_tieba.py:18-35 via operators/tieba.extract_note_detail)
+    "tieba_notes": (
+        "note_id string, title string, desc string, note_url string, "
+        "user_link string, user_nickname string, user_avatar string, "
+        "tieba_name string, tieba_link string, ip_location string, "
+        "publish_time string, total_replay_num string, total_replay_page string, "
+        "ord_keyword string, ord_page int, ord_item_idx int, ord_cursor_seq int, "
+        "round_id int"
+    ),
+    # E3 comments in-loop — full ZhihuComment field set
+    # (model/m_zhihu.py:42-61 via operators/zhihu.zhihu_comment_cols)
+    "zhihu_comments": (
+        "comment_id string, parent_comment_id string, content string, "
+        "publish_time bigint, ip_location string, sub_comment_count int, "
+        "like_count int, dislike_count int, content_id string, "
+        "user_id string, user_link string, user_nickname string, user_avatar string, "
+        "ord_cursor_seq int, ord_item_idx int, round_id int"
+    ),
     "denied": _FRONTIER_DDL,
     "failed": _FRONTIER_DDL,
     "seen": "url string, round_id int",
@@ -132,6 +151,33 @@ DELTA_DDL = {
 _DELTA_ORDER = [k for k in DELTA_DDL if k not in ("seen", "frontier")]
 # everything the per-round multiplexed write carries
 _MUX_ORDER = list(DELTA_DDL)
+
+
+_MUX_LAYOUT: tuple | None = None
+
+
+def _mux_layout():
+    """Unified column layout of the multiplexed write, derived purely from
+    DELTA_DDL (so write and read-back agree without shared state). Columns
+    sharing a name but not a type across tables (e.g. tieba_notes
+    publish_time:string vs zhihu_comments publish_time:bigint) get a
+    per-table storage alias — unionByName would otherwise coerce and ANSI
+    casts blow up on real values. Lazy: fromDDL needs an active session."""
+    global _MUX_LAYOUT
+    if _MUX_LAYOUT is not None:
+        return _MUX_LAYOUT
+    fields: dict[str, object] = {}
+    colmap: dict[str, dict[str, str]] = {}
+    for t in _MUX_ORDER:
+        colmap[t] = {}
+        for f in StructType.fromDDL(DELTA_DDL[t]).fields:
+            s = f.name
+            if s in fields and fields[s].simpleString() != f.dataType.simpleString():
+                s = f"{f.name}__{t}"
+            fields.setdefault(s, f.dataType)
+            colmap[t][f.name] = s
+    _MUX_LAYOUT = (fields, colmap)
+    return _MUX_LAYOUT
 
 _RC: dict | None = None
 
@@ -172,17 +218,22 @@ def _round_cols() -> dict:
             c("item_idx").alias("ord_item_idx"),
             c("cursor_seq").alias("ord_cursor_seq"),
         ],
+        # J2 — the reference-identical first-request comment cursor per
+        # platform rides on the seed URL and the frontier `cursor` column
         "comment_seed": _seed_cols(
             F.concat(F.lit("https://"), c("host"), F.lit("/api/comments/"),
-                     url_note_id_col(c("url")), F.lit("?cursor=0")),
+                     url_note_id_col(c("url")), F.lit("?cursor="),
+                     X.initial_comment_cursor_col(c("platform"))),
             c("host"), c("priority"), c("depth") + 1, c("keyword"), c("page"),
-            c("item_idx"), F.lit(0), F.lit("0"),
+            c("item_idx"), F.lit(0), X.initial_comment_cursor_col(c("platform")),
         ),
         # comment-page explosion: stage1 keeps page-level cursor info +
-        # lineage, stage2 flattens the exploded comment struct
+        # lineage, stage2 flattens the exploded comment struct. note_id
+        # is resolved per-protocol in parse (cpage.note_id).
         "cx_stage1": [
-            c("url"), c("host"), c("kind"),
+            c("url"), c("host"), c("platform"), c("kind"),
             c("cpage.target_id").alias("target_id"),
+            c("cpage.note_id").alias("note_id_pg"),
             c("cpage.has_more").alias("has_more"),
             c("cpage.next_cursor").alias("next_cursor"),
             c("priority"), c("depth"), c("keyword"), c("page"),
@@ -190,7 +241,8 @@ def _round_cols() -> dict:
             F.posexplode_outer(c("cpage.comments")).alias("item_idx", "cm"),
         ],
         "cx_stage2": [
-            c("url"), c("host"), c("kind"), c("target_id"), c("has_more"),
+            c("url"), c("host"), c("platform"), c("kind"), c("target_id"),
+            c("note_id_pg"), c("has_more"),
             c("next_cursor"), c("priority"), c("depth"), c("keyword"), c("page"),
             c("f_item_idx"), c("cursor_seq"), c("item_idx"),
             c("cm.id").alias("comment_id"),
@@ -200,11 +252,20 @@ def _round_cols() -> dict:
         ],
         "comments": [
             c("comment_id"),
-            F.when(c("kind") == "comments", c("target_id"))
-            .otherwise(F.regexp_extract(c("target_id"), r"^(.*?)c\d+$", 1)).alias("note_id"),
+            c("note_id_pg").alias("note_id"),
             F.when(c("kind") == "subcomments", c("target_id"))
             .otherwise(F.lit(None).cast("string")).alias("parent_comment_id"),
-            c("content"), c("create_time"), c("sub_comment_count"),
+            # zhihu comment bodies are HTML → byte-identical kernel
+            # (zhihu/help.py:245); other platforms' are already plain text.
+            # NULL-guarded input: non-zhihu rows ship Arrow nulls only.
+            F.coalesce(
+                extract_text_udf(
+                    F.when((c("platform") == "zhihu") & (c("kind") == "comments"),
+                           c("content"))
+                ),
+                c("content"),
+            ).alias("content"),
+            c("create_time"), c("sub_comment_count"),
             c("cursor_seq").alias("ord_cursor_seq"),
             c("item_idx").alias("ord_item_idx"),
         ],
@@ -330,6 +391,8 @@ class CrawlResult:
     creators: DataFrame
     contacts: DataFrame
     dynamics: DataFrame
+    tieba_notes: DataFrame
+    zhihu_comments: DataFrame
     seen: DataFrame
     frontier: DataFrame
     metrics: DataFrame
@@ -448,17 +511,14 @@ class CrawlEngine:
     def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", "deltas")
-        all_fields: dict[str, object] = {}
-        for name in _MUX_ORDER:
-            for f in tables[name].schema.fields:
-                all_fields.setdefault(f.name, f.dataType)
+        mux_fields, mux_colmap = _mux_layout()
         parts = []
         for name in _MUX_ORDER:
             df = tables[name]
-            have = set(df.columns)
+            inv = {storage: orig for orig, storage in mux_colmap[name].items()}
             cols = [
-                F.col(cn) if cn in have else F.lit(None).cast(dt).alias(cn)
-                for cn, dt in all_fields.items()
+                F.col(inv[s]).alias(s) if s in inv else F.lit(None).cast(dt).alias(s)
+                for s, dt in mux_fields.items()
             ]
             parts.append(df.select(*cols).withColumn("tbl", F.lit(name)))
         mux = _union_all(parts)
@@ -478,7 +538,10 @@ class CrawlEngine:
         schema = StructType.fromDDL(DELTA_DDL[name])
         if not os.path.isdir(sub):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(sub).select(*[f.name for f in schema.fields])
+        colmap = _mux_layout()[1][name]
+        return self.spark.read.parquet(sub).select(*[
+            F.col(colmap[f.name]).alias(f.name) for f in schema.fields
+        ])
 
     # -- seeding -----------------------------------------------------------
     def seed_frontier(self, seeds: DataFrame) -> DataFrame:
@@ -546,8 +609,9 @@ class CrawlEngine:
         # comment-count discovery from the page body → seed first cursor page
         comment_seeds = content_rows.filter(F.col("n_comments") > 0).select(*rc["comment_seed"])
 
-        # --- comment expansion (J2/J3) ---
-        cbase = parsed.filter(kind.isin("comments", "subcomments"))
+        # --- comment expansion (J2/J3; tieba detail rows carry page-1
+        # comments on their cpage, so the filter keys on cpage presence) ---
+        cbase = parsed.filter(F.col("cpage").isNotNull())
         # item_idx from the explosion = comment position on the page (W4
         # key); f_item_idx = the frontier row's inherited position.
         cx = cbase.select(*rc["cx_stage1"]).select(*rc["cx_stage2"])
@@ -568,7 +632,13 @@ class CrawlEngine:
             )
 
         cursor_gate = F.col("cpage.has_more")
-        sub_gate = (F.col("kind") == "comments") & (F.col("sub_comment_count") > 0)
+        # generic /api/subcomments cursor walk; tieba sub panes are seeded
+        # page-range-at-once below (the reference's max_sub_page_num math)
+        sub_gate = (
+            (F.col("kind") == "comments")
+            & (F.col("platform") != "tieba")
+            & (F.col("sub_comment_count") > 0)
+        )
         if self.max_comments_per_note is not None:
             mc, ps = self.max_comments_per_note, self.comment_page_size
             # stop paging a note once the budget is reachable on fetched pages
@@ -583,6 +653,93 @@ class CrawlEngine:
             if self.enable_sub_comments
             else self._empty_seeds()
         )
+
+        # --- tieba thread-page walk (S6/S10 in-loop: the reference's tieba
+        # crawl IS the six HTML extractors, tieba/core.py:113-205) ---
+        mc, ps = self.max_comments_per_note, self.comment_page_size
+        tb_detail = parsed.filter(
+            (F.col("platform") == "tieba") & (kind == "content") & F.col("tnote").isNotNull()
+        )
+        tieba_notes = tb_detail.select(
+            "tnote.*",
+            F.col("keyword").alias("ord_keyword"),
+            F.col("page").alias("ord_page"),
+            F.col("item_idx").alias("ord_item_idx"),
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+        ).withColumn("round_id", F.lit(round_id))
+        # reply pages ?pn=2..total_replay_page, seeded as the known range
+        # (the reference loops pn to total_replay_page, tieba/client.py:198-235;
+        # under W1 pages wholly past the budget are never requested)
+        # try_cast: the extractor yields '' when the reply-num spans are
+        # absent (ANSI cast would fail the task); no pages seeded then
+        pn_hi = F.col("tnote.total_replay_page").try_cast("int")
+        if mc is not None:
+            pn_hi = F.least(pn_hi, F.ceil(F.lit(mc) / F.lit(ps)).cast("int"))
+        tb_pn = tb_detail.select(
+            "host", "priority", "depth", "keyword", "page", "item_idx",
+            F.col("tnote.note_id").alias("_nid"),
+            pn_hi.alias("_hi"),
+        ).filter(F.col("_hi") >= 2).select(
+            "*", F.explode(F.sequence(F.lit(2), F.col("_hi"))).alias("_pn")
+        )
+        tb_pn_seeds = tb_pn.select(*_seed_cols(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("_nid"),
+                     F.lit("?pn="), F.col("_pn").cast("string")),
+            F.col("host"), F.col("priority"), F.col("depth") + 1, F.col("keyword"),
+            F.col("page"), F.col("item_idx"), F.col("_pn") - 1,
+            F.col("_pn").cast("string"),
+        ))
+        # sub panes pn=1..(comment_num//10+1) — the reference's
+        # max_sub_page_num formula verbatim incl. its off-by-one quirk
+        # (10 subs → 2 pages, the second empty; tieba/client.py:267)
+        if self.enable_sub_comments:
+            tb_subbase = cx.filter(
+                (F.col("platform") == "tieba")
+                & (F.col("kind") != "subcomments")
+                & (F.col("sub_comment_count") > 0)
+            )
+            if mc is not None:
+                tb_pos = F.col("cursor_seq") * ps + F.col("item_idx")
+                tb_subbase = tb_subbase.filter(tb_pos < mc)
+            tb_sub = tb_subbase.select(
+                "host", "priority", "depth", "keyword", "page", "item_idx",
+                F.col("note_id_pg").alias("_tid"),
+                F.col("comment_id").alias("_pid"),
+                (F.floor(F.col("sub_comment_count") / 10) + 1).cast("int").alias("_nsp"),
+            ).select("*", F.explode(F.sequence(F.lit(1), F.col("_nsp"))).alias("_pn"))
+            tb_sub_seeds = tb_sub.select(*_seed_cols(
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/p/comment?tid="),
+                         F.col("_tid"), F.lit("&pid="), F.col("_pid"),
+                         F.lit("&pn="), F.col("_pn").cast("string")),
+                F.col("host"), F.col("priority"), F.col("depth") + 1, F.col("keyword"),
+                F.col("page"), F.col("item_idx"), F.col("_pn") - 1,
+                F.col("_pn").cast("string"),
+            ))
+        else:
+            tb_sub_seeds = self._empty_seeds()
+
+        # --- zhihu comment rows, full field surface (E3 comments:
+        # _extract_comment + author member fallback, zhihu/help.py:213-298) ---
+        from mediacrawler_spark.operators import zhihu as Z
+
+        zx = (
+            parsed.filter(F.col("zcm").isNotNull())
+            .select(
+                F.col("cpage.note_id").alias("content_id"),
+                F.col("cursor_seq"),
+                F.posexplode_outer(F.col("zcm")).alias("z_idx", "zc"),
+            )
+            .filter(F.col("zc").isNotNull())
+        )
+        zc = F.col("zc")
+        zhihu_comments = zx.select(
+            *Z.zhihu_comment_cols(zc),
+            F.col("content_id"),
+            # author sub-extraction minus the url_token passthrough
+            *Z._author_cols(zc["author"])[:4],
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+            F.col("z_idx").alias("ord_item_idx"),
+        ).withColumn("round_id", F.lit(round_id))
 
         # --- search-page expansion (S1–S7: keyword page loop → J1 fan-out) ---
         sbase = parsed.filter(kind == "search")
@@ -760,7 +917,8 @@ class CrawlEngine:
         # sequential simulator, reference_sim.py best-dict).
         discovered = (
             _union_all([
-                comment_seeds, next_cursor_seeds, sub_seeds, note_seeds,
+                comment_seeds, next_cursor_seeds, sub_seeds, tb_pn_seeds,
+                tb_sub_seeds, note_seeds,
                 next_search_seeds, creator_seeds, posts_seed0,
                 posts_note_seeds, next_posts_seeds, edge_seed0,
                 next_contact_seeds, next_dyn_seeds,
@@ -870,6 +1028,8 @@ class CrawlEngine:
             "creators": creators,
             "contacts": contacts,
             "dynamics": dynamics,
+            "tieba_notes": tieba_notes,
+            "zhihu_comments": zhihu_comments,
             "metrics": metrics,
             "denied": denied,
             "failed": failed,
@@ -1002,6 +1162,8 @@ class CrawlEngine:
             creators=table("creators"),
             contacts=table("contacts"),
             dynamics=table("dynamics"),
+            tieba_notes=table("tieba_notes"),
+            zhihu_comments=table("zhihu_comments"),
             seen=self._read_seen(r + 1).dropDuplicates(["url"]),
             frontier=frontier,
             metrics=table("metrics"),

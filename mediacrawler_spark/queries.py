@@ -668,6 +668,52 @@ SELECT vec_id, centroid_id AS bucket FROM (
 """
 
 
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+)
+
+
+def q_ivf_kmeans_buckets(spark, sf):  # similarity — one Lloyd iteration, then assign
+    # real k-means centroids (verdict round-2 "What's missing" #5): init =
+    # first 8 vectors, 1 update iteration, final argmax-cosine assignment.
+    # Output is integer buckets only — centroid floats differ between
+    # engines at the last ulp (parallel vs sequential summation), but the
+    # argmax is stable far beyond that (synthetic cosines are not near-tied).
+    e = _t(spark, sf, "embeddings")
+    cents = similarity.kmeans_centroids(e, n_centroids=8, n_iters=1, dim=64)
+    return similarity.assign_to_centroids(e, cents).select("vec_id", "bucket")
+
+
+_SQL_AVG64 = ", ".join(f"avg(e.embedding[{i}]::DOUBLE)" for i in range(1, 65))
+
+SQL_IVF_KMEANS_BUCKETS = f"""
+WITH cents0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS ce
+  FROM embeddings WHERE vec_id < 8),
+s0 AS (
+  SELECT e.vec_id, c.centroid_id, {_SQL_COS.format(a="e.embedding", b="c.ce")} AS c_cos
+  FROM embeddings e CROSS JOIN cents0 c),
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+    FROM s0) WHERE rn = 1),
+cents1 AS (
+  SELECT a0.centroid_id, list_value({_SQL_AVG64}) AS ce
+  FROM a0 JOIN embeddings e USING (vec_id) GROUP BY a0.centroid_id),
+s1 AS (
+  SELECT e.vec_id, c.centroid_id, {_SQL_COS.format(a="e.embedding", b="c.ce")} AS c_cos
+  FROM embeddings e CROSS JOIN cents1 c)
+SELECT vec_id, centroid_id AS bucket FROM (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+  FROM s1) WHERE rn = 1
+"""
+
+
 def q_embedding_near_dups(spark, sf):  # similarity — cosine near-dup pairs in IVF buckets
     # The synthetic embeddings carry no natural near-dups (max bucketed
     # pairwise cosine ≈0.53 at every sf), so a bare threshold query passes
@@ -682,12 +728,6 @@ def q_embedding_near_dups(spark, sf):  # similarity — cosine near-dup pairs in
     res = similarity.embedding_near_dups(e.unionByName(planted), threshold=0.9)
     return res.select("vec_a", "vec_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
-
-_SQL_COS = (
-    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
-    " / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
-    " * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
-)
 
 SQL_EMBEDDING_NEAR_DUPS = f"""
 WITH base AS (
@@ -712,6 +752,31 @@ pairs AS (
   FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+"""
+
+
+def q_simhash_md5(spark, sf):  # dedup SimHash — portable md5-digit variant
+    return dedup.simhash_signatures_md5(_t(spark, sf, "documents"))
+
+
+# The md5-hex-digit bit derivation mirrored digit-for-digit: token hash bit
+# b = (hex digit b//4 of md5(token)) >> (b%4) & 1; majority vote per bit;
+# bit 63 encodes via two's complement (LONG_MIN), like Spark's shiftleft.
+SQL_SIMHASH_MD5 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM documents
+), dg AS (
+  SELECT doc_id,
+         {", ".join(f"(strpos('0123456789abcdef', substr(md5(tok), {dd + 1}, 1)) - 1) AS d{dd}" for dd in range(16))}
+  FROM toks
+), v AS (
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"sum((d{b // 4} >> {b % 4}) & 1) AS b{b}" for b in range(64))}
+  FROM dg GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{b} * 2 > n THEN " + ("(CAST(-9223372036854775807 AS BIGINT) - 1)" if b == 63 else f"(CAST(1 AS BIGINT) << {b})") + " ELSE 0 END)" for b in range(64))} AS BIGINT) AS simhash
+FROM v
 """
 
 
@@ -797,6 +862,27 @@ def q_tieba_comments(spark, sf):  # E2/E17 — tieba comment extractor + kernel 
     return T.extract_parent_comments(synth_tieba.build_comments_fixture_pages(_t(spark, sf, "documents")))
 
 
+def q_zhihu_comments(spark, sf):  # E3 comments — _extract_comment surface (zhihu/help.py:213-298)
+    from mediacrawler_spark import synth_zhihu
+    from mediacrawler_spark.operators import zhihu as Z
+    return Z.extract_zhihu_comments(
+        synth_zhihu.build_zhihu_comment_fixture_pages(_t(spark, sf, "documents"))
+    )
+
+
+def q_crawl_tieba_slice(spark, sf):  # S6/S10 in-loop — tieba HTML crawl → TiebaNote rows
+    from pyspark.sql import functions as F
+    from mediacrawler_spark import synth
+    from mediacrawler_spark.plans.crawl import CrawlEngine
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        (F.pmod(F.col("doc_id"), F.lit(7)) == 1) & (F.col("doc_id") < 400)
+    )
+    pages = synth.build_pages(spark, None, documents=docs)
+    eng = CrawlEngine(spark, pages, synth.build_robots(spark), use_bloom=False)
+    res = eng.run(synth.build_seeds(spark, None, documents=docs), max_rounds=4)
+    return res.tieba_notes
+
+
 def q_crawl_creator_graph(spark, sf):  # S14–S16/J4–J5 — creator posts + edges
     from pyspark.sql import functions as F
     from mediacrawler_spark import synth
@@ -860,8 +946,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ivf_buckets": (q_ivf_buckets, SQL_IVF_BUCKETS),
+    "ivf_kmeans_buckets": (q_ivf_kmeans_buckets, SQL_IVF_KMEANS_BUCKETS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+    "simhash_sigs_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups": (q_minhash_near_dups, None),
@@ -873,4 +961,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tieba_search_notes": (q_tieba_search_notes, None),
     "tieba_comments": (q_tieba_comments, None),
     "zhihu_contents": (q_zhihu_contents, None),
+    "zhihu_comments": (q_zhihu_comments, None),
+    "crawl_tieba_slice": (q_crawl_tieba_slice, None),
 }

@@ -129,17 +129,98 @@ def _state_json(b: DataFrame) -> F.Column:
     return common
 
 
+# --- tieba thread-page HTML (S6/S10 surface: the corpus pages the real
+# extractors parse in-loop; markers per media_platform/tieba/help.py) ------
+
+def _tb_ip():
+    return F.element_at(
+        F.array(F.lit("北京"), F.lit("上海"), F.lit("广东"), F.lit("浙江")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+
+
+def _tb_ts():
+    return F.concat(F.lit("2024-03-05 12:3"), F.pmod(F.col("doc_id"), F.lit(10)).cast("string"))
+
+
+def _tb_forum():
+    return F.concat(F.lit("吧"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"))
+
+
+def _tb_sub_n(i):
+    """Sub-comment count per parent: every 5th has 12 (two sub pages), every
+    7th-but-not-5th has 10 (exercises the reference's count//10+1 quirk —
+    a second, EMPTY sub page), else 0."""
+    return (
+        F.when(F.pmod(i, F.lit(5)) == 0, F.lit(12))
+        .when(F.pmod(i, F.lit(7)) == 3, F.lit(10))
+        .otherwise(F.lit(0))
+    )
+
+
+def _tb_comment_block(i):
+    """One l_post parent-comment block; the data-field content is HTML
+    (escaped twice: attribute-level entities, tags inside the JSON string)
+    so the byte-identical kernel has real work."""
+    cid = F.concat(F.col("note_id"), F.lit("c"), i.cast("string"))
+    datafield = F.concat(
+        F.lit("{&quot;content&quot;:{&quot;post_id&quot;:&quot;"), cid,
+        F.lit("&quot;,&quot;comment_num&quot;:"), _tb_sub_n(i).cast("string"),
+        F.lit(",&quot;content&quot;:&quot;&lt;b&gt;回复 "), i.cast("string"),
+        F.lit("&lt;/b&gt; on "), F.col("note_id"),
+        F.lit("&quot;,&quot;forum_id&quot;:&quot;f1&quot;}}"),
+    )
+    return F.concat(
+        F.lit('<div class="l_post l_post_bright j_l_post clearfix  " data-field="'), datafield,
+        F.lit('"><a class="p_author_face " href="/home/main?id='), F.col("user_id"),
+        F.lit('"><img src="https://img.example/'), F.col("user_id"), F.lit('.png"></a>'),
+        F.lit('<a class="p_author_name j_user_card" href="#">'), F.col("nickname"), F.lit("</a>"),
+        F.lit('<div class="post-tail-wrap"><span class="tail-info">IP属地:'), _tb_ip(),
+        F.lit('</span><span class="tail-info">'), _tb_ts(), F.lit("</span></div></div>"),
+    )
+
+
+def _tb_thread_html(start, count_on_page):
+    """Thread page (detail or ?pn reply page): full detail markers + that
+    page's l_post comment blocks INSIDE p_postlist — the nested-div layout
+    real tieba has, which the balanced-tag captures must survive."""
+    n_pages = F.greatest(F.ceil(F.col("n_comments") / 10).cast("int"), F.lit(1))
+    blocks = F.when(
+        count_on_page > 0,
+        F.array_join(
+            F.transform(F.sequence(start, start + count_on_page - 1), _tb_comment_block), ""
+        ),
+    ).otherwise(F.lit(""))
+    desc = F.substring(F.regexp_replace(F.col("text"), '["<>&]', ""), 1, 40)
+    return F.concat(
+        F.lit("<html><head><title>title-"), F.col("note_id"),
+        F.lit("【"), _tb_forum(), F.lit("】_百度贴吧</title>"),
+        F.lit('<meta name="description" content="'), desc, F.lit('"></head><body>'),
+        F.lit('<a class="card_title_fname" href="/f?kw='), _tb_forum(), F.lit('">'),
+        _tb_forum(), F.lit("</a>"),
+        F.lit('<a id="lzonly_cntn" href="/p/'), F.col("note_id"), F.lit('?see_lz=1">只看楼主</a>'),
+        F.lit('<div class="p_postlist">'),
+        F.lit('<a class="p_author_face " href="/home/main?id='), F.col("user_id"),
+        F.lit('"><img src="https://img.example/'), F.col("user_id"), F.lit('.png"></a>'),
+        F.lit('<a class="p_author_name j_user_card" href="#">'), F.col("nickname"), F.lit("</a>"),
+        F.lit('<div class="post-tail-wrap"><span class="tail-info">IP属地:'), _tb_ip(),
+        F.lit('</span><span class="tail-info">'), _tb_ts(), F.lit("</span></div>"),
+        # nested div inside the floor body: the old non-greedy captures
+        # would truncate p_postlist here
+        F.lit('<div class="d_post_content">正文 <div class="inner">'), desc,
+        F.lit("</div> 结尾</div>"),
+        blocks,
+        F.lit("</div>"),
+        F.lit('<div id="thread_theme_5"><li class="l_reply_num"><span class="red">'),
+        F.col("n_comments").cast("string"),
+        F.lit('</span><span class="red">'), n_pages.cast("string"),
+        F.lit("</span></li></div></body></html>"),
+    )
+
+
 def build_content_pages(documents: DataFrame) -> DataFrame:
     b = _base(documents)
     state = _state_json(b)
-    # html-escaped data-field JSON for the tieba-style branch
-    # (reference unescapes with html.unescape then json.loads,
-    # media_platform/tieba/help.py:346-356).
-    datafield = F.concat(
-        F.lit("{&quot;author&quot;:{&quot;user_id&quot;:&quot;"), F.col("user_id"),
-        F.lit("&quot;,&quot;user_name&quot;:&quot;"), F.col("nickname"),
-        F.lit("&quot;}}"),
-    )
     embed = (
         F.when(F.col("platform") == "xhs",
                F.concat(F.lit('<script>window.__INITIAL_STATE__='), state, F.lit("</script>")))
@@ -156,13 +237,11 @@ def build_content_pages(documents: DataFrame) -> DataFrame:
                        F.lit('":{"'),
                        F.col("note_id"), F.lit('":'),
                        F.regexp_replace(state, ":undefined", ":null"), F.lit("}}}}</script>")))
-        .when(F.col("platform") == "tieba",
-              F.concat(F.lit('<div id="thread" data-field="'), datafield, F.lit('"><!--comment--></div>')))
         .otherwise(  # douyin / kuaishou / bilibili: API-JSON page body
             F.concat(F.lit('<script id="api-json" type="application/json">'),
                      F.regexp_replace(state, ":undefined", ":null"), F.lit("</script>")))
     )
-    html_str = F.concat(
+    generic_html = F.concat(
         F.lit("<html><head><title>"), F.concat(F.lit("title-"), F.col("note_id")),
         F.lit("</title><style type=text/css>\n body { color: #333; }\n</style></head><body>"),
         embed,
@@ -175,12 +254,105 @@ def build_content_pages(documents: DataFrame) -> DataFrame:
         F.lit('<div class="stats">comments:'), F.col("n_comments").cast("string"), F.lit("</div>"),
         F.lit("</body></html>"),
     )
+    # tieba content = a REAL thread-detail page (S10): page 1 carries the
+    # first ≤10 parent comments; ?pn=2.. reply pages hold the rest
+    tb_count = F.least(F.lit(10), F.col("n_comments"))
+    html_str = F.when(
+        F.col("platform") == "tieba", _tb_thread_html(F.lit(0), tb_count)
+    ).otherwise(generic_html)
     return b.select(
         _content_url(b).alias("url"),
         "warc_ts",
         F.encode(html_str, "UTF-8").alias("html"),
         "lang",
         F.lit("content").alias("kind"),
+        "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def build_tieba_reply_pages(documents: DataFrame) -> DataFrame:
+    """?pn=2..total_replay_page thread reply pages (tieba comment walk)."""
+    b = _base(documents).filter(
+        (F.col("platform") == "tieba") & (F.col("n_comments") > 10)
+    )
+    n_pages = F.ceil(F.col("n_comments") / 10).cast("int")
+    pages = b.select(
+        "*", F.explode(F.sequence(F.lit(2), n_pages)).alias("pn")
+    )
+    start = (F.col("pn") - 1) * 10
+    cnt = F.least(F.lit(10), F.col("n_comments") - start)
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("note_id"),
+        F.lit("?pn="), F.col("pn").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(_tb_thread_html(start, cnt), "UTF-8").alias("html"),
+        "lang",
+        F.lit("comments").alias("kind"),
+        "platform", "host", "note_id", "doc_id", "n_comments",
+    )
+
+
+def build_tieba_sub_pages(documents: DataFrame) -> DataFrame:
+    """Sub-comment panes /p/comment?tid&pid&pn (reference pages them
+    pn=1..comment_num//10+1, tieba/client.py:237-285)."""
+    b = _base(documents).filter(
+        (F.col("platform") == "tieba") & (F.col("n_comments") > 0)
+    )
+    parents = b.select(
+        "*",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_comments") - 1),
+                lambda i: (F.pmod(i, F.lit(5)) == 0) | (F.pmod(i, F.lit(7)) == 3),
+            )
+        ).alias("parent_idx"),
+    ).withColumn(
+        "parent_id",
+        F.concat(F.col("note_id"), F.lit("c"), F.col("parent_idx").cast("string")),
+    ).withColumn("sub_n", _tb_sub_n(F.col("parent_idx")))
+    n_sub_pages = (F.floor(F.col("sub_n") / 10) + 1).cast("int")
+    pages = parents.select(
+        "*", F.explode(F.sequence(F.lit(1), n_sub_pages)).alias("pn")
+    )
+    start = (F.col("pn") - 1) * 10
+    cnt = F.greatest(F.least(F.lit(10), F.col("sub_n") - start), F.lit(0))
+
+    def lzl_block(j):
+        sid = F.concat(F.col("parent_id"), F.lit("s"), j.cast("string"))
+        cls = F.when(j == start, F.lit("lzl_single_post j_lzl_s_p first_no_border"))\
+            .otherwise(F.lit("lzl_single_post j_lzl_s_p "))
+        datafield = F.concat(
+            F.lit("{&quot;spid&quot;:&quot;"), sid,
+            F.lit("&quot;,&quot;showname&quot;:&quot;"), F.col("nickname"), F.lit("&quot;}"),
+        )
+        return F.concat(
+            F.lit('<li class="'), cls, F.lit('" data-field="'), datafield,
+            F.lit('"><a class="j_user_card lzl_p_p" href="/home/main?id='), F.col("user_id"),
+            F.lit('"><img src="https://img.example/'), F.col("user_id"), F.lit('.png"></a>'),
+            # nested span: the balanced lzl_content_main capture must keep it
+            F.lit('<span class="lzl_content_main">回复 <span class="at">@楼主</span> 子评论 '),
+            j.cast("string"),
+            F.lit('</span><span class="lzl_time">'), _tb_ts(), F.lit("</span></li>"),
+        )
+
+    items = F.when(
+        cnt > 0,
+        F.array_join(F.transform(F.sequence(start, start + cnt - 1), lzl_block), ""),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body><ul>"), items, F.lit("</ul></body></html>"))
+    url = F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/p/comment?tid="), F.col("note_id"),
+        F.lit("&pid="), F.col("parent_id"), F.lit("&pn="), F.col("pn").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(html, "UTF-8").alias("html"),
+        "lang",
+        F.lit("subcomments").alias("kind"),
         "platform", "host", "note_id", "doc_id", "n_comments",
     )
 
@@ -198,28 +370,121 @@ def _comment_obj(note_id, cid_idx, create_base):
     )
 
 
+def _zhihu_comment_obj(note_id, i, create_base):
+    """Full reference-shaped zhihu root comment (help.py:232-260 fields):
+    HTML content (kernel has work), ip_info comment_tag, member-nested
+    author on odd indices, like/dislike counts."""
+    cid = F.concat(note_id, F.lit("c"), i.cast("string"))
+    sub_n = F.when(F.pmod(i, F.lit(5)) == 0, F.lit(12)).otherwise(F.lit(0))
+    k = F.pmod(i, F.lit(101)).cast("string")
+    author_plain = F.concat(
+        F.lit('{"id":"zu'), k, F.lit('","name":"知友'), k,
+        F.lit('","url_token":"ztok'), k,
+        F.lit('","avatar_url":"https://pic.zhimg.com/c'), k, F.lit('.png"}'),
+    )
+    author = F.when(
+        F.pmod(i, F.lit(2)) == 1,
+        F.concat(F.lit('{"member":'), author_plain, F.lit("}")),
+    ).otherwise(author_plain)
+    return F.concat(
+        F.lit('{"type":"comment","id":"'), cid,
+        F.lit('","content":"<p>知乎回复 '), i.cast("string"),
+        F.lit(" on "), note_id, F.lit('</p>"'),
+        F.lit(',"created_time":'), (create_base + i * 1000).cast("string"),
+        F.lit(',"comment_tag":[{"type":"ip_info","text":"IP属地'),
+        F.pmod(i, F.lit(4)).cast("string"),
+        F.lit('"}],"child_comment_count":'), sub_n.cast("string"),
+        F.lit(',"like_count":'), F.pmod(i * 3, F.lit(50)).cast("string"),
+        F.lit(',"dislike_count":'), F.pmod(i, F.lit(7)).cast("string"),
+        F.lit(',"author":'), author, F.lit("}"),
+    )
+
+
 def build_comment_pages(documents: DataFrame) -> DataFrame:
-    """Cursor-paginated comment pages, 10 comments per page (xhs-shaped)."""
-    b = _base(documents).filter(F.col("n_comments") > 0)
+    """Cursor-paginated root-comment pages, 10 comments per page, with the
+    reference-identical per-platform envelope + cursor protocol (J2):
+
+    - xhs       {"has_more","cursor",comments}; opaque cursor = last id
+    - douyin    {"has_more":0/1,"cursor":<offset int>,comments}
+    - weibo     {"max_id":<int|0>, "data":[...]}       (end: max_id==0)
+    - kuaishou  {"visionCommentList":{"pcursor","rootComments"}}
+                                                        (end: "no_more")
+    - bilibili  {"cursor":{"next","is_end"},"replies":[...]}
+    - zhihu     {"paging":{"is_end","next":<url with offset>},"data":[full
+                reference comment objects]} — every 3rd page carries a
+                leading non-comment item the P5 type filter must drop
+
+    A page's URL token IS the cursor string that requests it, so the
+    frontier `cursor` column holds reference-identical values. Tieba is
+    excluded here — its comments ride on thread ?pn pages (HTML)."""
+    plat = F.col("platform")
+    b = _base(documents).filter((F.col("n_comments") > 0) & (plat != "tieba"))
     n_pages = F.ceil(F.col("n_comments") / 10).cast("int")
     pages = b.select(
         "*", F.explode(F.sequence(F.lit(0), n_pages - 1)).alias("cursor_k"), n_pages.alias("n_pages")
     )
-    start = F.col("cursor_k") * 10
+    k, n = F.col("cursor_k"), F.col("n_pages")
+    start = k * 10
     count_on_page = F.least(F.lit(10), F.col("n_comments") - start)
     items = F.transform(
         F.sequence(start, start + count_on_page - 1),
         lambda i: _comment_obj(F.col("note_id"), i, F.col("create_ms")),
     )
-    has_more = (F.col("cursor_k") < F.col("n_pages") - 1)
-    body = F.concat(
-        F.lit('{"has_more":'), has_more.cast("string"),
-        F.lit(',"cursor":"'), (F.col("cursor_k") + 1).cast("string"),
-        F.lit('","comments":['), F.array_join(items, ","), F.lit("]}"),
+    zitems = F.transform(
+        F.sequence(start, start + count_on_page - 1),
+        lambda i: _zhihu_comment_obj(F.col("note_id"), i, F.col("create_ms")),
+    )
+    zlead = F.when(
+        F.pmod(k, F.lit(3)) == 0, F.lit('{"type":"sub_header","id":"hdr"},')
+    ).otherwise(F.lit(""))
+    has_more = k < n - 1
+    ilist = F.array_join(items, ",")
+    # weibo max_id chain: m(k) = doc_id*1000+k (never 0 for k>=1), 0 at end
+    wb_next = F.when(has_more, (F.col("doc_id") * 1000 + k + 1)).otherwise(F.lit(0))
+    body = (
+        F.when(plat == "douyin", F.concat(
+            F.lit('{"has_more":'), has_more.cast("int").cast("string"),
+            F.lit(',"cursor":'), ((k + 1) * 10).cast("string"),
+            F.lit(',"comments":['), ilist, F.lit("]}")))
+        .when(plat == "weibo", F.concat(
+            F.lit('{"max_id":'), wb_next.cast("string"),
+            F.lit(',"data":['), ilist, F.lit("]}")))
+        .when(plat == "kuaishou", F.concat(
+            F.lit('{"visionCommentList":{"pcursor":"'),
+            F.when(has_more, (k + 1).cast("string")).otherwise(F.lit("no_more")),
+            F.lit('","rootComments":['), ilist, F.lit("]}}")))
+        .when(plat == "bilibili", F.concat(
+            F.lit('{"cursor":{"next":'), (k + 1).cast("string"),
+            F.lit(',"is_end":'), (~has_more).cast("string"),
+            F.lit('},"replies":['), ilist, F.lit("]}")))
+        .when(plat == "zhihu", F.concat(
+            F.lit('{"paging":{"is_end":'), (~has_more).cast("string"),
+            F.lit(',"next":"https://www.zhihu.com/api/v4/comment_v5/notes/'),
+            F.col("note_id"), F.lit("/root_comment?limit=10&offset="),
+            ((k + 1) * 10).cast("string"), F.lit('_0_0&order_by=score"},"data":['),
+            zlead, F.array_join(zitems, ","), F.lit("]}")))
+        .otherwise(F.concat(  # xhs: opaque cursor = id of the page's last comment
+            F.lit('{"has_more":'), has_more.cast("string"),
+            F.lit(',"cursor":"'), F.col("note_id"), F.lit("c"),
+            ((k + 1) * 10 - 1).cast("string"),
+            F.lit('","comments":['), ilist, F.lit("]}")))
+    )
+    # URL token = the cursor string the reference client would send for
+    # page k (initial cursors per initial_comment_cursor_col)
+    addr = (
+        F.when(plat == "douyin", (k * 10).cast("string"))
+        .when(plat == "weibo",
+              F.when(k == 0, F.lit("-1")).otherwise((F.col("doc_id") * 1000 + k).cast("string")))
+        .when(plat == "kuaishou", F.when(k == 0, F.lit("")).otherwise(k.cast("string")))
+        .when(plat == "bilibili", k.cast("string"))
+        .when(plat == "zhihu",
+              F.when(k == 0, F.lit("")).otherwise(F.concat((k * 10).cast("string"), F.lit("_0_0"))))
+        .otherwise(F.when(k == 0, F.lit("")).otherwise(
+            F.concat(F.col("note_id"), F.lit("c"), (k * 10 - 1).cast("string"))))
     )
     url = F.concat(
         F.lit("https://"), F.col("host"), F.lit("/api/comments/"),
-        F.col("note_id"), F.lit("?cursor="), F.col("cursor_k").cast("string"),
+        F.col("note_id"), F.lit("?cursor="), addr,
     )
     return pages.select(
         url.alias("url"),
@@ -232,8 +497,14 @@ def build_comment_pages(documents: DataFrame) -> DataFrame:
 
 
 def build_subcomment_pages(documents: DataFrame) -> DataFrame:
-    """Second-level thread pages: 12 subs → 2 cursor pages of ≤10 (J3)."""
-    b = _base(documents).filter(F.col("n_comments") > 0)
+    """Second-level thread pages: 12 subs → 2 cursor pages of ≤10 (J3).
+
+    xhs envelope on every non-tieba platform (J2 covers the top-level
+    protocols; per-platform sub protocols are a documented simplification —
+    tieba subs are real /p/comment HTML panes, build_tieba_sub_pages)."""
+    b = _base(documents).filter(
+        (F.col("n_comments") > 0) & (F.col("platform") != "tieba")
+    )
     parents = b.select(
         "*",
         F.explode(
@@ -296,26 +567,70 @@ def build_search_pages(documents: DataFrame) -> DataFrame:
         .withColumn("_note_url", _content_url(b))
     )
     grouped = items.groupBy("platform", "_kw", "_pg").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_rn").alias("rn"), F.col("_note_url").alias("u")))
-                ),
-                lambda s: F.concat(F.lit('"'), s["u"], F.lit('"')),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rn").alias("rn"), F.col("_note_url").alias("u")))
             ),
-            ",",
-        ).alias("_urls"),
+            lambda s: s["u"],
+        ).alias("_arr"),
         F.count("*").alias("_n"),
         F.min("warc_ts").alias("warc_ts"),
     )
     wmax = Window.partitionBy("platform", "_kw")
     grouped = grouped.withColumn("_maxpg", F.max("_pg").over(wmax))
+    has_more = F.col("_pg") < F.col("_maxpg")
+    urls_json = F.array_join(
+        F.transform(F.col("_arr"), lambda u: F.concat(F.lit('"'), u, F.lit('"'))), ","
+    )
     # session_id: the kuaishou searchSessionId carry (kuaishou/core.py:155)
     # — deterministic per (platform, keyword), echoed on every page.
-    body = F.concat(
-        F.lit('{"has_more":'), (F.col("_pg") < F.col("_maxpg")).cast("string"),
+    generic_body = F.concat(
+        F.lit('{"has_more":'), has_more.cast("string"),
         F.lit(',"session_id":"ss-'), F.col("platform"), F.lit("-"), F.col("_kw"),
-        F.lit('","note_urls":['), F.col("_urls"), F.lit("]}"),
+        F.lit('","note_urls":['), urls_json, F.lit("]}"),
+    )
+    # weibo: the m.weibo.cn card envelope (P2/U3) — every 3rd result is a
+    # type-9 member nested in a card_group (with a type-18 noise sibling
+    # the filter must drop), the rest are direct type-9 cards; a trailing
+    # no-mblog card exercises the mblog-presence gate (weibo/core.py:156-158)
+    wb_card = F.transform(
+        F.col("_arr"),
+        lambda u, i: F.when(
+            F.pmod(i, F.lit(3)) == 2,
+            F.concat(F.lit('{"card_type":11,"card_group":[{"card_type":18},'
+                           '{"card_type":9,"mblog":{"url":"'), u, F.lit('"}}]}')),
+        ).otherwise(F.concat(F.lit('{"card_type":9,"mblog":{"url":"'), u, F.lit('"}}'))),
+    )
+    weibo_body = F.concat(
+        F.lit('{"has_more":'), has_more.cast("string"),
+        F.lit(',"session_id":"ss-weibo-'), F.col("_kw"),
+        F.lit('","cards":['), F.array_join(wb_card, ","),
+        F.lit(',{"card_type":9}]}'),
+    )
+    # tieba: a REAL s_post HTML result list (S6) parsed in-loop by the E2
+    # search extractor; hrefs carry full corpus URLs (the extractor's
+    # TIEBA_URL prefix is re-based by the synthetic-resolver bridge)
+    def _spost(u):
+        nid = F.element_at(F.split(F.element_at(F.split(u, r"\?"), 1), "/"), -1)
+        return F.concat(
+            F.lit('<div class="s_post"><span class="p_title"><a data-tid="'), nid,
+            F.lit('" href="'), u, F.lit('">title-'), nid,
+            F.lit('</a></span><div class="p_content">摘要 <div class="x">'), nid,
+            F.lit('</div> 内容</div><a href="/home/main?un=x"><font>作者</font></a>'),
+            F.lit('<a class="p_forum" href="/f?kw=吧"><font>吧</font></a>'),
+            F.lit('<font class="p_green p_date">2024-03-05 12:30</font></div>'),
+        )
+
+    tieba_body = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(F.transform(F.col("_arr"), _spost), ""),
+        F.when(has_more, F.lit('<a class="next" href="#">下一页</a>')).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    body = (
+        F.when(F.col("platform") == "weibo", weibo_body)
+        .when(F.col("platform") == "tieba", tieba_body)
+        .otherwise(generic_body)
     )
     url = F.concat(
         F.lit("https://h0."), F.col("platform"), F.lit(".example/search/"),
@@ -565,6 +880,8 @@ def build_pages(
         build_content_pages(documents)
         .unionByName(build_comment_pages(documents))
         .unionByName(build_subcomment_pages(documents))
+        .unionByName(build_tieba_reply_pages(documents))
+        .unionByName(build_tieba_sub_pages(documents))
         .unionByName(build_search_pages(documents))
         .unionByName(build_creator_pages(documents))
         .unionByName(build_creator_posts_pages(documents))

@@ -80,3 +80,48 @@ def build_zhihu_fixture_pages(documents: DataFrame) -> DataFrame:
         url.alias("url"), body.alias("body"), "doc_id",
         F.pmod(F.col("doc_id"), F.lit(3)).alias("ztype"),
     )
+
+
+def build_zhihu_comment_fixture_pages(documents: DataFrame) -> DataFrame:
+    """Reference-shaped root-comment pages (zhihu/help.py:213-298 input).
+
+    Branch coverage per page: a non-comment item the P5 type filter drops,
+    a comment with html content + an ip_info tag buried behind another tag
+    (the _extract_comment_ip_location scan), and a reply with a member-
+    nested author, absent like/dislike counts (→0) and empty comment_tag."""
+    d = documents.select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    snippet = F.substring(_clean(F.col("text")), 1, 40)
+    t = (F.lit(_TS0) + F.col("doc_id") * 7).cast("string")
+    body = F.concat(
+        F.lit('{"paging":{"is_end":true,"next":null},"data":['),
+        F.lit('{"type":"sub_header","id":"hdr"},'),
+        F.lit('{"type":"comment","id":"zc'), did,
+        F.lit('a","reply_comment_id":null,"content":"<p>评 '), snippet,
+        F.lit('</p><script>var x=1;</script>","created_time":'), t,
+        F.lit(',"comment_tag":[{"type":"flag","text":"热"},{"type":"ip_info","text":"IP属地'),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("string"),
+        F.lit('"}],"child_comment_count":2,"like_count":'),
+        F.pmod(F.col("doc_id"), F.lit(90)).cast("string"),
+        F.lit(',"dislike_count":1,"author":{"id":"u'), did,
+        F.lit('","name":"甲'), did, F.lit('","url_token":"t'), did,
+        F.lit('","avatar_url":"https://pic.zhimg.com/a'), did, F.lit('.png"}},'),
+        F.lit('{"type":"comment","id":"zc'), did,
+        F.lit('b","reply_comment_id":"zc'), did,
+        F.lit('a","content":"回 <b>甲</b>","created_time":'), t,
+        F.lit(',"comment_tag":[],"child_comment_count":0,'),
+        F.lit('"author":{"member":{"id":"m'), did,
+        F.lit('","name":"乙'), did, F.lit('","url_token":"mt'), did,
+        F.lit('","avatar_url":"https://pic.zhimg.com/m'), did, F.lit('.png"}}}'),
+        F.lit("]}"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://www.zhihu.com/api/v4/comment_v5/answers/a"), did,
+            F.lit("/root_comment?limit=10&offset="),
+        ).alias("url"),
+        body.alias("body"),
+        F.concat(F.lit("a"), did).alias("content_id"),
+        F.lit("answer").alias("content_type"),
+        "doc_id",
+    )

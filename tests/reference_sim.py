@@ -15,8 +15,12 @@ keys**, and carry the same per-platform pagination cursor strings
 from __future__ import annotations
 
 import json
+import math
 import re
 from dataclasses import dataclass, field
+
+from mediacrawler_spark.functions.text import extract_text_py
+from mediacrawler_spark.operators import tieba as T
 
 
 @dataclass
@@ -29,14 +33,18 @@ class SimResult:
     creators: set = field(default_factory=set)  # (user_id, platform)
     contacts: set = field(default_factory=set)  # (up_id, fan_id, src_kind, cursor_seq, item_idx)
     dynamics: set = field(default_factory=set)  # (dynamic_id, user_id, cursor_seq, item_idx)
+    tieba_notes: set = field(default_factory=set)   # full TiebaNote surface + ordering keys
+    zhihu_comments: set = field(default_factory=set)  # full ZhihuComment surface
     cursor_vals: dict = field(default_factory=dict)  # url -> pagination cursor string
     rounds: int = 0
 
 
 def classify(url: str) -> str:
+    if "/p/comment" in url:
+        return "subcomments"
     if "/api/subcomments/" in url:
         return "subcomments"
-    if "/api/comments/" in url:
+    if "/api/comments/" in url or re.search(r"/p/[^/?]+\?pn=", url):
         return "comments"
     if "/search/" in url:
         return "search"
@@ -69,6 +77,47 @@ def note_id_of(url: str) -> str:
 
 def uid_of(url: str) -> str:
     return url.split("/user/")[1].split("/")[0].split("?")[0]
+
+
+def initial_comment_cursor(platform: str) -> str:
+    """Engine's initial_comment_cursor_col twin (J2 first-request cursors)."""
+    if platform == "weibo":
+        return "-1"
+    if platform in ("douyin", "bilibili"):
+        return "0"
+    return ""
+
+
+def parse_comment_page(platform: str, kind: str, doc: dict):
+    """Per-platform comment envelope + cursor protocol (J2) — the engine's
+    _parse_cols comment branch twin. Returns (has_more, next_cursor,
+    generic_comments). Sub pages keep the xhs envelope on every platform."""
+    if kind != "subcomments":
+        if platform == "douyin":
+            return doc["has_more"] == 1, str(doc["cursor"]), doc["comments"]
+        if platform == "weibo":
+            return doc["max_id"] != 0, str(doc["max_id"]), doc["data"]
+        if platform == "kuaishou":
+            v = doc["visionCommentList"]
+            return v["pcursor"] != "no_more", v["pcursor"], v["rootComments"]
+        if platform == "bilibili":
+            cur = doc["cursor"]
+            return (not cur["is_end"]), str(cur["next"]), doc["replies"]
+        if platform == "zhihu":
+            p = doc["paging"]
+            m = re.search(r"[?&]offset=([^&]+)", p.get("next") or "")
+            items = [c for c in doc["data"] if c.get("type") == "comment"]  # P5
+            mapped = [
+                {
+                    "id": c["id"],
+                    "content": extract_text_py(c.get("content") or ""),  # kernel
+                    "create_time": c["created_time"],
+                    "sub_comment_count": c["child_comment_count"],
+                }
+                for c in items
+            ]
+            return (not p["is_end"]), (m.group(1) if m else ""), mapped
+    return doc["has_more"], doc["cursor"], doc["comments"]
 
 
 def search_cursor(platform: str, page: int, session_id: str | None) -> str:
@@ -153,23 +202,68 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                 continue
             res.seen.add(f["url"])
             kind = classify(f["url"])
+            platform = f["host"].split(".")[1] if f["host"] else ""
             body = bytes(page["html"]).decode("utf-8")
+
+            def handle_tieba_comments(comments, note_id, f):
+                """Parent comments of a thread page: rows + sub-pane seeds
+                (max_sub_page_num = n//10+1, tieba/client.py:267)."""
+                mc, ps = max_comments_per_note, comment_page_size
+                for idx, cd in enumerate(comments):
+                    pos = f["cursor_seq"] * ps + idx
+                    if mc is not None and pos >= mc:
+                        continue
+                    res.comments.add((cd["comment_id"], note_id, None, f["cursor_seq"], idx))
+                    if enable_sub and (cd["sub_comment_count"] or 0) > 0:
+                        for j in range(1, cd["sub_comment_count"] // 10 + 2):
+                            discovered.append(seed(
+                                f"https://{f['host']}/p/comment?tid={note_id}"
+                                f"&pid={cd['comment_id']}&pn={j}",
+                                f["host"], f["priority"], f["depth"] + 1,
+                                f["keyword"], f["page"], idx, j - 1, str(j),
+                            ))
+
             if kind == "search":
-                doc = json.loads(body)
                 kw = re.search(r"/search/([^?]+)", f["url"]).group(1)
                 pg = int(re.search(r"page=(\d+)", f["url"]).group(1))
-                platform = f["host"].split(".")[1]
-                for idx, nu in enumerate(doc["note_urls"]):
+                if platform == "tieba":
+                    # S6 in-loop: the real E2 search extractor over the HTML
+                    # body; reference-absolute URLs re-based to the corpus
+                    notes = T.extract_search_note_list(body)
+                    note_urls = [
+                        re.sub(r"^https://tieba\.baidu\.com(?=https?://)", "", n["note_url"])
+                        for n in notes
+                    ]
+                    has_more = '<a class="next"' in body
+                    session_id = None
+                elif platform == "weibo":
+                    # P2/U3: filter_search_result_card (weibo/help.py:20-36)
+                    doc = json.loads(body)
+                    note_urls = []
+                    for card in doc["cards"]:
+                        if card.get("card_type") == 9 and (card.get("mblog") or {}).get("url"):
+                            note_urls.append(card["mblog"]["url"])
+                        for g in (card.get("card_group") or []):
+                            if g.get("card_type") == 9 and (g.get("mblog") or {}).get("url"):
+                                note_urls.append(g["mblog"]["url"])
+                    has_more = doc["has_more"]
+                    session_id = doc.get("session_id")
+                else:
+                    doc = json.loads(body)
+                    note_urls = doc["note_urls"]
+                    has_more = doc["has_more"]
+                    session_id = doc.get("session_id")
+                for idx, nu in enumerate(note_urls):
                     discovered.append(seed(
                         nu, host_of(nu), f["priority"], f["depth"] + 1,
                         f["keyword"], pg, idx, 0, None,
                     ))
-                if doc["has_more"] and (max_search_pages is None or pg + 1 <= max_search_pages):
+                if has_more and (max_search_pages is None or pg + 1 <= max_search_pages):
                     discovered.append(seed(
                         f"https://{f['host']}/search/{kw}?page={pg + 1}",
                         f["host"], f["priority"], f["depth"], f["keyword"],
                         pg + 1, 0, 0,
-                        search_cursor(platform, pg + 1, doc.get("session_id")),
+                        search_cursor(platform, pg + 1, session_id),
                     ))
             elif kind == "creator":
                 doc = json.loads(body)
@@ -243,13 +337,48 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         f["host"], f["priority"], f["depth"], f["keyword"],
                         f["page"], f["item_idx"], f["cursor_seq"] + 1, doc["offset"],
                     ))
+            elif kind == "content" and platform == "tieba":
+                # S10 in-loop: real thread-detail page through the E2
+                # extractors (detail + page-1 parent comments), then the
+                # ?pn=2..total_replay_page reply-page range
+                nid = note_id_of(f["url"])
+                note = T.extract_note_detail(body)
+                res.content.add(
+                    (note["note_id"], f["keyword"], f["page"], f["item_idx"], f["cursor_seq"])
+                )
+                res.tieba_notes.add((
+                    note["note_id"], note["title"], note["desc"], note["user_nickname"],
+                    note["ip_location"], note["publish_time"], note["total_replay_num"],
+                    note["total_replay_page"],
+                    f["keyword"], f["page"], f["item_idx"], f["cursor_seq"],
+                ))
+                if crawl_creators:
+                    m_uid = re.search(r"[?&]id=([^&]+)", note["user_link"])
+                    if m_uid:
+                        discovered.append(seed(
+                            f"https://h0.tieba.example/user/{m_uid.group(1)}",
+                            "h0.tieba.example", 0, 0, f["keyword"],
+                            f["page"], f["item_idx"], 0, None,
+                        ))
+                handle_tieba_comments(
+                    T.extract_note_parent_comments(body, nid), nid, f
+                )
+                total_pages = int(note["total_replay_page"] or 0)
+                hi = total_pages
+                if max_comments_per_note is not None:
+                    hi = min(hi, math.ceil(max_comments_per_note / comment_page_size))
+                for k in range(2, hi + 1):
+                    discovered.append(seed(
+                        f"https://{f['host']}/p/{nid}?pn={k}",
+                        f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                        f["page"], f["item_idx"], k - 1, str(k),
+                    ))
             elif kind == "content":
                 res.content.add(
                     (note_id_of(f["url"]), f["keyword"], f["page"], f["item_idx"], f["cursor_seq"])
                 )
                 if crawl_creators:
                     m_uid = re.search(r'data-uid="([^"]+)"', body)
-                    platform = f["host"].split(".")[1]
                     if m_uid:
                         discovered.append(seed(
                             f"https://h0.{platform}.example/user/{m_uid.group(1)}",
@@ -258,17 +387,45 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         ))
                 m = re.search(r"comments:(\d+)", body)
                 if m and int(m.group(1)) > 0:
+                    cur0 = initial_comment_cursor(platform)
                     discovered.append(seed(
-                        f"https://{f['host']}/api/comments/{note_id_of(f['url'])}?cursor=0",
+                        f"https://{f['host']}/api/comments/{note_id_of(f['url'])}?cursor={cur0}",
                         f["host"], f["priority"], f["depth"] + 1, f["keyword"],
-                        f["page"], f["item_idx"], 0, "0",
+                        f["page"], f["item_idx"], 0, cur0,
                     ))
+            elif kind == "comments" and platform == "tieba":
+                # tieba reply page ?pn=k: parent comments only (no cursor
+                # emission — the page range was seeded from the detail page)
+                nid = note_id_of(f["url"])
+                handle_tieba_comments(
+                    T.extract_note_parent_comments(body, nid), nid, f
+                )
+            elif kind == "subcomments" and platform == "tieba":
+                tid = re.search(r"[?&]tid=([^&]+)", f["url"]).group(1)
+                pid = re.search(r"[?&]pid=([^&]+)", f["url"]).group(1)
+                subs = T.extract_sub_comment_page(body, tid, pid)
+                for idx, s in enumerate(subs):
+                    res.comments.add((s["comment_id"], tid, pid, f["cursor_seq"], idx))
             else:
                 doc = json.loads(body)
                 target = f["url"].split("/")[-1].split("?")[0]
                 mc, ps = max_comments_per_note, comment_page_size
-                items = doc["comments"]
-                if comment_order == "time_desc":  # O2 order mode
+                has_more, next_cursor, items = parse_comment_page(platform, kind, doc)
+                if kind == "comments" and platform == "zhihu":
+                    # E3 comments: full ZhihuComment surface (untrimmed —
+                    # the fidelity table mirrors the extractor per page)
+                    raw = [c for c in doc["data"] if c.get("type") == "comment"]
+                    from mediacrawler_spark.operators.zhihu import extract_comment_py
+                    for idx, c in enumerate(raw):
+                        z = extract_comment_py(c, target, None)
+                        res.zhihu_comments.add((
+                            z["comment_id"], z["parent_comment_id"], z["content"],
+                            z["publish_time"], z["ip_location"], z["sub_comment_count"],
+                            z["like_count"], z["dislike_count"], z["content_id"],
+                            z["user_id"], z["user_nickname"],
+                            f["cursor_seq"], idx,
+                        ))
+                if comment_order == "time_desc" and platform != "tieba":  # O2 order mode
                     items = sorted(items, key=lambda c: (-c["create_time"], c["id"]))
                 for idx, c in enumerate(items):
                     note = target if kind == "comments" else re.match(r"^(.*?)c\d+$", target).group(1)
@@ -283,14 +440,14 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                             f["host"], f["priority"], f["depth"] + 1, f["keyword"],
                             f["page"], idx, 0, "0",
                         ))
-                more_ok = doc["has_more"] and not (
+                more_ok = has_more and not (
                     kind == "comments" and mc is not None and (f["cursor_seq"] + 1) * ps >= mc
                 )
                 if more_ok:
                     discovered.append(seed(
-                        f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={doc['cursor']}",
+                        f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={next_cursor}",
                         f["host"], f["priority"], f["depth"], f["keyword"],
-                        f["page"], f["item_idx"], f["cursor_seq"] + 1, doc["cursor"],
+                        f["page"], f["item_idx"], f["cursor_seq"] + 1, next_cursor,
                     ))
 
         # within-round dedup: the same URL can be emitted by several

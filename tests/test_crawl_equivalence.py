@@ -67,6 +67,76 @@ def test_comments_with_ordering_keys_equal(engine_result, sim_result):
     assert got == sim_result.comments
 
 
+def test_tieba_notes_equal(engine_result, sim_result):
+    """S10 in-loop: tieba thread pages crawled end-to-end, extraction equal
+    to the row-wise reference extractor (full TiebaNote surface + W4 keys)."""
+    got = {
+        (r["note_id"], r["title"], r["desc"], r["user_nickname"], r["ip_location"],
+         r["publish_time"], r["total_replay_num"], r["total_replay_page"],
+         r["ord_keyword"], r["ord_page"], r["ord_item_idx"], r["ord_cursor_seq"])
+        for r in engine_result.tieba_notes.collect()
+    }
+    assert got == sim_result.tieba_notes
+    assert len(got) > 0
+
+
+def test_zhihu_comments_equal(engine_result, sim_result):
+    """E3 comments in-loop: full ZhihuComment surface (_extract_comment +
+    member-fallback author, zhihu/help.py:213-298) equals the row oracle."""
+    got = {
+        (r["comment_id"], r["parent_comment_id"], r["content"], r["publish_time"],
+         r["ip_location"], r["sub_comment_count"], r["like_count"], r["dislike_count"],
+         r["content_id"], r["user_id"], r["user_nickname"],
+         r["ord_cursor_seq"], r["ord_item_idx"])
+        for r in engine_result.zhihu_comments.collect()
+    }
+    assert got == sim_result.zhihu_comments
+    assert len(got) > 0
+
+
+def test_comment_cursor_strings_match_sim(spark, documents):
+    """J2 — frontier rows carry reference-identical per-platform comment
+    cursor strings (weibo max_id, kuaishou pcursor, bilibili next, zhihu
+    offset, xhs opaque cursor, douyin offset)."""
+    docs = documents.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 150))
+    pages = synth.build_pages(spark, None, documents=docs).cache()
+    pages.count()
+    seeds = synth.build_seeds(spark, None, documents=docs)
+    robots = synth.build_robots(spark)
+    eng = CrawlEngine(spark, pages, robots, use_bloom=False)
+    # round 0 fetches content → seeds comment page 0 (initial cursors);
+    # round 1 fetches page 0 → page-1 seeds carry the protocol cursors
+    res = eng.run(seeds, max_rounds=2)
+    sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=2,
+    )
+    frontier_rows = {
+        r["url"]: r["cursor"]
+        for r in res.frontier.collect()
+        if r["url"] in sim.cursor_vals
+    }
+    assert frontier_rows
+    for url, cur in frontier_rows.items():
+        assert cur == sim.cursor_vals[url], url
+    cm = {u: c for u, c in frontier_rows.items() if "/api/comments/" in u}
+    assert cm, "expected comment page-1 seeds in the frontier"
+    # protocol shape spot checks (presence depends on which platforms drew
+    # notes with >10 comments in this corpus slice — check what exists)
+    for u, c in cm.items():
+        if ".weibo." in u:
+            assert c.isdigit() and int(c) > 0, (u, c)  # max_id chain
+        elif ".zhihu." in u:
+            assert c.endswith("_0_0"), (u, c)  # offset token from paging.next
+        elif ".xhs." in u:
+            assert "c" in c, (u, c)  # opaque last-comment-id cursor
+        elif ".douyin." in u or ".bilibili." in u or ".kuaishou." in u:
+            assert c.isdigit(), (u, c)
+    pages.unpersist()
+
+
 def test_failed_set_equal_including_null_host(engine_result, sim_result):
     """Exhausted-retry rows match the simulator — in particular the
     malformed seed (NULL parse_url host) must travel through the scheduler's

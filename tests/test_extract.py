@@ -48,10 +48,19 @@ def test_extract_comment_pages_roundtrip(spark, documents):
         for r in rs:
             assert r["comment_id"].startswith(r["target_id"] + "c")
             assert r["kind"] == "comments"
-    # cursor arithmetic: page k has next_cursor k+1
-    any_r = rows[0]
-    k = int(any_r["url"].split("cursor=")[1])
-    assert int(any_r["next_cursor"]) == k + 1
+    # cursor protocols (J2): spot-check the two integer-token platforms —
+    # douyin page k (URL token k*10) answers cursor (k+1)*10; bilibili page
+    # k answers next=k+1. Other platforms carry opaque/compound tokens.
+    dy = [r for r in rows if ".douyin." in r["url"]]
+    assert dy, "expected douyin comment pages in the slice"
+    for r in dy:
+        k = int(r["url"].split("cursor=")[1])
+        assert int(r["next_cursor"]) == k + 10, r
+    bl = [r for r in rows if ".bilibili." in r["url"]]
+    assert bl, "expected bilibili comment pages in the slice"
+    for r in bl:
+        k = int(r["url"].split("cursor=")[1])
+        assert int(r["next_cursor"]) == k + 1, r
 
 
 def test_xhs_initial_state_udf_matches_oracle(spark, documents):

@@ -197,3 +197,136 @@ def test_no_batch_eval_python_in_tieba_plan(spark, docs):
     plan = T.extract_search_notes(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+# -- nested-markup goldens (the balanced-tag captures vs the old non-greedy
+# close-tag regexes, which truncated at the first nested close) -------------
+
+def test_nested_markup_thread_list_and_desc():
+    """A thread list whose abstract div nests another div, and whose list
+    body nests a ul — both must survive whole (reference xpath semantics)."""
+    page = (
+        '<a class="card_title_fname" href="/f?kw=吧x">吧x</a>'
+        '<ul id="thread_list">'
+        '<li data-field="{&quot;id&quot;:&quot;t1&quot;,&quot;author_name&quot;:&quot;甲&quot;,&quot;reply_num&quot;:3}">'
+        '<a class="j_th_tit " href="/p/t1">题一</a>'
+        '<div class="threadlist_abs threadlist_abs_onlyline ">前 <div class="em">中</div> 后</div>'
+        '<a class="frs-author-name j_user_card " href="/home/main?id=u1">甲</a>'
+        '<ul class="inner"><li>噪声</li></ul>'
+        '</li>'
+        '<li data-field="{&quot;id&quot;:&quot;t2&quot;,&quot;author_name&quot;:&quot;乙&quot;,&quot;reply_num&quot;:0}">'
+        '<a class="j_th_tit " href="/p/t2">题二</a>'
+        '<div class="threadlist_abs threadlist_abs_onlyline ">简介二</div>'
+        '<a class="frs-author-name j_user_card " href="/home/main?id=u2">乙</a>'
+        '</li>'
+        '</ul><div class="footer">页脚</div>'
+    )
+    notes = T.extract_tieba_note_list(page)
+    # the nested </ul> inside li #1 must NOT cut off li #2
+    assert [n["note_id"] for n in notes] == ["t1", "t2"]
+    # the nested div inside the abstract is kept whole
+    assert notes[0]["desc"] == '前 <div class="em">中</div> 后'
+    assert notes[1]["desc"] == "简介二"
+    # the nested li (inside the inner ul) has no data-field → skipped, and
+    # does not corrupt the real rows
+    assert notes[0]["user_nickname"] == "甲" and notes[1]["user_nickname"] == "乙"
+
+
+def test_nested_markup_detail_first_floor():
+    """p_postlist nests divs (tail wrap, body) — the first-floor capture
+    must span them so author fields resolve; l_reply_num li holds spans."""
+    page = (
+        "<html><head><title>帖 题【吧y】_百度贴吧</title>"
+        '<meta name="description" content="描述"></head><body>'
+        '<a class="card_title_fname" href="/f?kw=吧y">吧y</a>'
+        '<a id="lzonly_cntn" href="/p/t9?see_lz=1">只看楼主</a>'
+        '<div class="p_postlist">'
+        '<div class="d_post_content">正文 <div class="inner">嵌套</div> 尾</div>'
+        '<a class="p_author_face " href="/home/main?id=u9"><img src="https://img/u9.png"></a>'
+        '<a class="p_author_name j_user_card" href="#">作者九</a>'
+        '<div class="post-tail-wrap"><span class="tail-info">IP属地:北京</span>'
+        '<span class="tail-info">2024-03-05 12:30</span></div>'
+        "</div>"
+        '<div id="thread_theme_5"><li class="l_reply_num"><span class="red">37</span>'
+        '<span class="red">4</span></li></div></body></html>'
+    )
+    note = T.extract_note_detail(page)
+    assert note["note_id"] == "t9"
+    assert note["title"] == "帖 题"  # suffix stripped
+    # with the old '<div class="p_postlist">(.*?)</div>' capture the first
+    # nested </div> (inside d_post_content) cut the floor before the author
+    assert note["user_nickname"] == "作者九"
+    assert note["user_link"].endswith("/home/main?id=u9")
+    assert note["ip_location"] == "北京" and note["publish_time"] == "2024-03-05 12:30"
+    assert note["total_replay_num"] == "37" and note["total_replay_page"] == "4"
+
+
+def test_nested_markup_search_desc():
+    page = (
+        '<div class="s_post"><span class="p_title">'
+        '<a data-tid="77" href="/p/77">题</a></span>'
+        '<div class="p_content">甲 <div class="x">乙</div> 丙</div>'
+        '<a href="/home/main?un=n"><font>n</font></a>'
+        '<a class="p_forum" href="/f?kw=吧"><font>吧</font></a>'
+        '<font class="p_green p_date">2024-01-01 00:00</font></div>'
+    )
+    notes = T.extract_search_note_list(page)
+    assert notes[0]["desc"] == '甲 <div class="x">乙</div> 丙'
+
+
+def test_nested_markup_sub_comment_content():
+    """lzl_content_main nesting a span must be captured whole; the kernel
+    then strips tags byte-identically."""
+    page = (
+        '<ul><li class="lzl_single_post j_lzl_s_p first_no_border" '
+        'data-field="{&quot;spid&quot;:&quot;s1&quot;,&quot;showname&quot;:&quot;丙&quot;}">'
+        '<a class="j_user_card lzl_p_p" href="/home/main?id=u3"><img src="https://img/u3.png"></a>'
+        '<span class="lzl_content_main">回复 <span class="at">@楼主</span> 内容</span>'
+        '<span class="lzl_time">2024-02-02 02:02</span></li></ul>'
+    )
+    subs = T.extract_note_sub_comments(page, {"comment_id": "c0", "note_id": "t1",
+                                              "note_url": None, "tieba_id": None,
+                                              "tieba_name": None, "tieba_link": None})
+    assert subs[0]["comment_id"] == "s1"
+    assert subs[0]["content"] == "回复 @楼主 内容"
+    assert subs[0]["publish_time"] == "2024-02-02 02:02"
+
+
+def test_thread_page_composite_extractor():
+    """extract_thread_page = detail + that page's parent comments in one
+    pass (the in-loop S10 UDF shape)."""
+    comment = (
+        '<div class="l_post l_post_bright j_l_post clearfix  " data-field="'
+        "{&quot;content&quot;:{&quot;post_id&quot;:&quot;t9c0&quot;,&quot;comment_num&quot;:12,"
+        "&quot;content&quot;:&quot;&lt;b&gt;一楼&lt;/b&gt; 回&quot;,&quot;forum_id&quot;:&quot;f1&quot;}}"
+        '"><a class="p_author_face " href="/home/main?id=u5"><img src="https://img/u5.png"></a>'
+        '<a class="p_author_name j_user_card" href="#">评论者</a>'
+        '<div class="post-tail-wrap"><span class="tail-info">IP属地:上海</span>'
+        '<span class="tail-info">2024-03-06 09:00</span></div></div>'
+    )
+    page = (
+        "<html><head><title>题【吧z】_百度贴吧</title>"
+        '<meta name="description" content="d"></head><body>'
+        '<a class="card_title_fname" href="/f?kw=吧z">吧z</a>'
+        '<a id="lzonly_cntn" href="/p/t9?see_lz=1">只看楼主</a>'
+        '<div class="p_postlist">'
+        '<a class="p_author_face " href="/home/main?id=u9"><img src="https://img/u9.png"></a>'
+        '<a class="p_author_name j_user_card" href="#">楼主</a>'
+        '<div class="post-tail-wrap"><span class="tail-info">IP属地:北京</span>'
+        '<span class="tail-info">2024-03-05 12:30</span></div>'
+        + comment +
+        '</div><div id="thread_theme_5"><li class="l_reply_num">'
+        '<span class="red">12</span><span class="red">2</span></li></div></body></html>'
+    )
+    out = T.extract_thread_page(page, "t9")
+    assert out["note"]["note_id"] == "t9"
+    assert out["note"]["user_nickname"] == "楼主"
+    # the note's ip/pub-time = FIRST tail wrap on the page (the floor's)
+    assert out["note"]["ip_location"] == "北京"
+    cms = out["comments"]
+    assert len(cms) == 1
+    assert cms[0]["comment_id"] == "t9c0"
+    assert cms[0]["sub_comment_count"] == 12
+    assert cms[0]["content"] == "一楼 回"      # kernel strips the <b> tags
+    assert cms[0]["ip_location"] == "上海"     # its own tail wrap, not the floor's
+    assert cms[0]["note_id"] == "t9"

@@ -133,3 +133,51 @@ def test_branch_goldens(spark, pages):
 def test_zhihu_plan_arrow_only(spark, pages):
     plan = Z.extract_zhihu_contents(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_zhihu_comments_equal_row_oracle(spark, documents):
+    """E3 comments — the native column projection (extract_zhihu_comments)
+    equals a row-wise port of _extract_comment + author member fallback
+    (zhihu/help.py:186-260) on reference-shaped comment pages; the P5
+    type filter drops non-comment items."""
+    import json as _json
+    from mediacrawler_spark.operators.zhihu import (
+        extract_comment_py,
+        extract_zhihu_comments,
+    )
+    from mediacrawler_spark.synth_zhihu import build_zhihu_comment_fixture_pages
+
+    docs = documents.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 30))
+    pages = build_zhihu_comment_fixture_pages(docs)
+    got = {
+        (r["url"], r["item_idx"]): (
+            r["comment_id"], r["parent_comment_id"], r["content"], r["publish_time"],
+            r["ip_location"], r["sub_comment_count"], r["like_count"], r["dislike_count"],
+            r["content_id"], r["content_type"],
+            r["user_id"], r["user_link"], r["user_nickname"], r["user_avatar"],
+        )
+        for r in extract_zhihu_comments(pages).collect()
+    }
+    want = {}
+    for row in pages.collect():
+        doc = _json.loads(row["body"])
+        idx = 0
+        for c in doc["data"]:
+            if c.get("type") != "comment":
+                idx += 1  # posexplode indexes BEFORE the type filter
+                continue
+            z = extract_comment_py(c, row["content_id"], row["content_type"])
+            want[(row["url"], idx)] = (
+                z["comment_id"], z["parent_comment_id"], z["content"], z["publish_time"],
+                z["ip_location"], z["sub_comment_count"], z["like_count"], z["dislike_count"],
+                z["content_id"], z["content_type"],
+                z["user_id"], z["user_link"], z["user_nickname"], z["user_avatar"],
+            )
+            idx += 1
+    assert got == want and len(got) == 2 * 30
+    # branch pins: member-fallback author resolved, absent likes → 0,
+    # ip_info tag found behind a non-ip tag, html content kernel-cleaned
+    some = next(v for k, v in got.items() if v[0].endswith("b"))
+    assert some[10].startswith("m") and some[6] == 0 and some[2] == "回 甲"
+    lead = next(v for k, v in got.items() if v[0].endswith("a"))
+    assert lead[4].startswith("IP属地") and "<p>" not in lead[2]
