@@ -51,6 +51,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -179,6 +180,23 @@ def _mux_layout():
     _MUX_LAYOUT = (fields, colmap)
     return _MUX_LAYOUT
 
+
+_MUX_SELECTS: dict[str, list] = {}
+
+
+def _mux_selects(name: str) -> list:
+    """Cached per-table projection onto the unified mux layout (+ the tbl
+    partition tag). ~800 Column constructions per round (12 tables × 65
+    cols × py4j latency) done once per process instead."""
+    if name not in _MUX_SELECTS:
+        mux_fields, mux_colmap = _mux_layout()
+        inv = {storage: orig for orig, storage in mux_colmap[name].items()}
+        _MUX_SELECTS[name] = [
+            F.col(inv[s]).alias(s) if s in inv else F.lit(None).cast(dt).alias(s)
+            for s, dt in mux_fields.items()
+        ] + [F.lit(name).alias("tbl")]
+    return _MUX_SELECTS[name]
+
 _RC: dict | None = None
 
 
@@ -191,6 +209,39 @@ def _seed_cols(url_col, host_col, priority, depth, keyword, page, item_idx,
         item_idx.cast("int").alias("item_idx"), cursor_seq.cast("int").alias("cursor_seq"),
         cursor_val.cast("string").alias("cursor_val"),
     ]
+
+
+# Seed rows as a nested type: the whole per-round link-discovery fan-out
+# (14 logical branches in round 2) is ONE projection over the parsed frame
+# — each branch contributes an array<seed_struct> guarded by its kind
+# predicate, concatenated and exploded once. vs. the former 14-branch
+# unionByName: one cache scan instead of 14, no union shuffle lineage, and
+# ~6 s/round less driver-side plan analysis (each DataFrame op re-analyzes
+# its whole subtree; 14 branches × deep parse tree was the round loop's
+# dominant fixed cost).
+_SEED_ARR_DDL = (
+    "array<struct<url:string,host:string,priority:int,depth:int,"
+    "keyword:string,page:int,item_idx:int,cursor_seq:int,cursor_val:string>>"
+)
+
+
+def _sstruct(url, host, priority, depth, keyword, page, item_idx,
+             cursor_seq, cursor_val):
+    return F.struct(
+        url.cast("string").alias("url"), host.cast("string").alias("host"),
+        priority.cast("int").alias("priority"), depth.cast("int").alias("depth"),
+        keyword.cast("string").alias("keyword"), page.cast("int").alias("page"),
+        item_idx.cast("int").alias("item_idx"),
+        cursor_seq.cast("int").alias("cursor_seq"),
+        cursor_val.cast("string").alias("cursor_val"),
+    )
+
+
+def _guard(cond, arr):
+    """Piece of the seed array: ``arr`` where ``cond`` holds, else empty
+    (NULL/false conditions both collapse to the typed empty array, exactly
+    like the former per-branch ``filter(cond)``)."""
+    return F.coalesce(F.when(cond, arr), F.array().cast(_SEED_ARR_DDL))
 
 
 def _round_cols() -> dict:
@@ -218,15 +269,8 @@ def _round_cols() -> dict:
             c("item_idx").alias("ord_item_idx"),
             c("cursor_seq").alias("ord_cursor_seq"),
         ],
-        # J2 — the reference-identical first-request comment cursor per
-        # platform rides on the seed URL and the frontier `cursor` column
-        "comment_seed": _seed_cols(
-            F.concat(F.lit("https://"), c("host"), F.lit("/api/comments/"),
-                     url_note_id_col(c("url")), F.lit("?cursor="),
-                     X.initial_comment_cursor_col(c("platform"))),
-            c("host"), c("priority"), c("depth") + 1, c("keyword"), c("page"),
-            c("item_idx"), F.lit(0), X.initial_comment_cursor_col(c("platform")),
-        ),
+        # (seed emission lives in CrawlEngine._seed_array_col — J2 initial
+        # cursors, cursor walks, tieba page ranges, search/posts fan-out)
         # comment-page explosion: stage1 keeps page-level cursor info +
         # lineage, stage2 flattens the exploded comment struct. note_id
         # is resolved per-protocol in parse (cpage.note_id).
@@ -269,36 +313,6 @@ def _round_cols() -> dict:
             c("cursor_seq").alias("ord_cursor_seq"),
             c("item_idx").alias("ord_item_idx"),
         ],
-        "next_cursor_seed": _seed_cols(
-            F.concat(
-                F.lit("https://"), c("host"),
-                F.when(c("kind") == "comments", F.lit("/api/comments/"))
-                .otherwise(F.lit("/api/subcomments/")),
-                c("cpage.target_id"), F.lit("?cursor="), c("cpage.next_cursor"),
-            ),
-            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
-            c("item_idx"), c("cursor_seq") + 1, c("cpage.next_cursor"),
-        ),
-        "sub_seed": _seed_cols(
-            F.concat(F.lit("https://"), c("host"), F.lit("/api/subcomments/"),
-                     c("comment_id"), F.lit("?cursor=0")),
-            c("host"), c("priority"), c("depth") + 1, c("keyword"), c("page"),
-            c("item_idx"), F.lit(0), F.lit("0"),
-        ),
-        # search listing explosion (S1–S7)
-        "sx": [
-            c("url"), c("host"), c("platform"), c("priority"), c("depth"),
-            c("keyword"),
-            c("spage.search_kw").alias("search_kw"),
-            c("spage.search_page").alias("search_page"),
-            c("spage.session_id").alias("session_id"),
-            F.posexplode_outer(c("spage.note_urls")).alias("sx_idx", "note_url"),
-        ],
-        "note_seed": _seed_cols(
-            c("note_url"), F.parse_url(c("note_url"), F.lit("HOST")),
-            c("priority"), c("depth") + 1, c("keyword"), c("search_page"),
-            c("sx_idx"), F.lit(0), F.lit(None),
-        ),
         # creators (S13)
         "creators": [
             c("url"), c("host"), c("platform"),
@@ -308,27 +322,6 @@ def _round_cols() -> dict:
             c("creator.follows").alias("follows"),
             c("creator.fans").alias("fans"),
         ],
-        # creator-posts explosion (S14/J4): note seeds inherit the posts
-        # page's cursor_seq so (keyword,page,item_idx,cursor_seq) stays a
-        # deterministic W4 key
-        "px": [
-            c("url"), c("host"), c("priority"), c("depth"), c("keyword"),
-            c("page"), c("cursor_seq"),
-            c("ppage.target_uid").alias("target_uid"),
-            F.posexplode_outer(c("ppage.note_urls")).alias("px_idx", "note_url"),
-        ],
-        "posts_note_seed": _seed_cols(
-            c("note_url"), F.parse_url(c("note_url"), F.lit("HOST")),
-            c("priority"), c("depth") + 1, c("keyword"), c("page"),
-            c("px_idx"), c("cursor_seq"), F.lit(None),
-        ),
-        "next_posts_seed": _seed_cols(
-            F.concat(F.lit("https://"), c("host"), F.lit("/user/"),
-                     c("ppage.target_uid"), F.lit("/posts?cursor="),
-                     c("ppage.next_cursor")),
-            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
-            c("item_idx"), c("cursor_seq") + 1, c("ppage.next_cursor"),
-        ),
         # fans/followings explosion (S15/J5)
         "fx": [
             c("url"), c("host"), c("kind"), c("keyword"), c("page"),
@@ -364,13 +357,6 @@ def _round_cols() -> dict:
             c("cursor_seq").alias("ord_cursor_seq"),
             c("dx_idx").alias("ord_item_idx"),
         ],
-        "next_dynamics_seed": _seed_cols(
-            F.concat(F.lit("https://"), c("host"), F.lit("/user/"),
-                     c("dpage.target_uid"), F.lit("/dynamics?offset="),
-                     c("dpage.next_offset")),
-            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
-            c("item_idx"), c("cursor_seq") + 1, c("dpage.next_offset"),
-        ),
         "new_frontier": [
             c("url"), c("host"),
             c("priority").cast("int").alias("priority"),
@@ -473,6 +459,10 @@ class CrawlEngine:
         #   join (colocated when the table is bucketed).
         self.fetch_join = fetch_join
         self.broadcast_threshold = broadcast_threshold
+        # per-process plan caches (driver fixed-cost discipline)
+        self._seed_arr = None
+        self._mux_read_cache: dict[int, DataFrame | None] = {}
+        self._empty_cache: dict[str, DataFrame] = {}
 
     # -- state materialization ---------------------------------------------
     # Always a parquet round-trip: parallel write + clean lineage cut.
@@ -492,7 +482,9 @@ class CrawlEngine:
         return self.spark.read.parquet(path)
 
     def _empty(self, ddl: str) -> DataFrame:
-        return self.spark.createDataFrame([], ddl)
+        if ddl not in self._empty_cache:
+            self._empty_cache[ddl] = self.spark.createDataFrame([], ddl)
+        return self._empty_cache[ddl]
 
     def _empty_seeds(self) -> DataFrame:
         return self._empty(_SEED_DDL)
@@ -511,17 +503,10 @@ class CrawlEngine:
     def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", "deltas")
-        mux_fields, mux_colmap = _mux_layout()
-        parts = []
-        for name in _MUX_ORDER:
-            df = tables[name]
-            inv = {storage: orig for orig, storage in mux_colmap[name].items()}
-            cols = [
-                F.col(inv[s]).alias(s) if s in inv else F.lit(None).cast(dt).alias(s)
-                for s, dt in mux_fields.items()
-            ]
-            parts.append(df.select(*cols).withColumn("tbl", F.lit(name)))
-        mux = _union_all(parts)
+        parts = [tables[name].select(*_mux_selects(name)) for name in _MUX_ORDER]
+        # identical column layout by construction → positional union (no
+        # per-branch name resolution; one analysis at the write action)
+        mux = reduce(DataFrame.union, parts)
         # File-count discipline: the union of ~15 branches would otherwise
         # write branches × shuffle-partitions part files per round (each
         # scanned back by later rounds' seen/frontier reads). coalesce fuses
@@ -530,16 +515,31 @@ class CrawlEngine:
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         mux = mux.coalesce(4 if getattr(self, "_small_round", False) else max(n_shuffle, 8))
         mux.write.mode("overwrite").partitionBy("tbl").parquet(path)
+        self._mux_read_cache.pop(round_id, None)  # resume overwrote a crashed round
         return {name: self._read_delta(round_id, name) for name in _MUX_ORDER}
 
-    def _read_delta(self, round_id: int, name: str) -> DataFrame:
+    def _read_mux(self, round_id: int) -> DataFrame | None:
+        """One file listing per round for ALL table read-backs (was 12
+        spark.read calls = 12 driver-side listings + footer reads)."""
+        if round_id in self._mux_read_cache:
+            return self._mux_read_cache[round_id]
         base = self.ckpt or self._scratch
-        sub = os.path.join(base, f"round={round_id:05d}", "deltas", f"tbl={name}")
-        schema = StructType.fromDDL(DELTA_DDL[name])
-        if not os.path.isdir(sub):
-            return self.spark.createDataFrame([], schema)
+        path = os.path.join(base, f"round={round_id:05d}", "deltas")
+        has_parts = os.path.isdir(path) and any(
+            d.startswith("tbl=") for d in os.listdir(path)
+        )
+        mux = self.spark.read.parquet(path) if has_parts else None
+        self._mux_read_cache[round_id] = mux
+        return mux
+
+    def _read_delta(self, round_id: int, name: str) -> DataFrame:
+        mux = self._read_mux(round_id)
+        if mux is None:
+            return self._empty(DELTA_DDL[name])
         colmap = _mux_layout()[1][name]
-        return self.spark.read.parquet(sub).select(*[
+        schema = StructType.fromDDL(DELTA_DDL[name])
+        # tbl= is a partition column → directory pruning, one table's files
+        return mux.filter(F.col("tbl") == name).select(*[
             F.col(colmap[f.name]).alias(f.name) for f in schema.fields
         ])
 
@@ -562,6 +562,246 @@ class CrawlEngine:
         ).dropDuplicates(["url"])
 
     # -- one BSP round ------------------------------------------------------
+    def _seed_array_col(self):
+        """The full link-discovery fan-out as one array<seed_struct> column
+        over parsed rows (see _SEED_ARR_DDL). Built once per engine (the
+        gates bake in engine-constant budgets) and reused every round."""
+        if getattr(self, "_seed_arr", None) is not None:
+            return self._seed_arr
+        c = F.col
+        kind = c("kind")
+        host, priority, depth, keyword, page, item_idx, cursor_seq = (
+            c("host"), c("priority"), c("depth"), c("keyword"), c("page"),
+            c("item_idx"), c("cursor_seq"),
+        )
+        https = F.lit("https://")
+        mc, ps = self.max_comments_per_note, self.comment_page_size
+        pieces: list = []
+
+        # comment page 0 from content rows (J2 first-request cursor per
+        # platform rides the URL and the cursor column)
+        icc = X.initial_comment_cursor_col(c("platform"))
+        pieces.append(_guard(
+            (kind == "content") & (c("n_comments") > 0),
+            F.array(_sstruct(
+                F.concat(https, host, F.lit("/api/comments/"),
+                         url_note_id_col(c("url")), F.lit("?cursor="), icc),
+                host, priority, depth + 1, keyword, page, item_idx, F.lit(0), icc,
+            )),
+        ))
+
+        # next comment/sub-comment cursor page (J2/J3 iterative join)
+        cursor_gate = c("cpage.has_more")
+        if mc is not None:
+            cursor_gate = cursor_gate & (
+                (kind != "comments") | ((cursor_seq + 1) * ps < mc)
+            )
+        pieces.append(_guard(
+            c("cpage").isNotNull() & cursor_gate,
+            F.array(_sstruct(
+                F.concat(
+                    https, host,
+                    F.when(kind == "comments", F.lit("/api/comments/"))
+                    .otherwise(F.lit("/api/subcomments/")),
+                    c("cpage.target_id"), F.lit("?cursor="), c("cpage.next_cursor"),
+                ),
+                host, priority, depth, keyword, page,
+                item_idx, cursor_seq + 1, c("cpage.next_cursor"),
+            )),
+        ))
+
+        if self.enable_sub_comments:
+            # generic /api/subcomments walk for comments with sub-threads;
+            # i = the comment's position on its page (W4 / W1 position math)
+            def _sub_one(cm, i):
+                gate = cm["sub_comment_count"] > 0
+                if mc is not None:
+                    gate = gate & (cursor_seq * ps + i < mc)
+                return F.when(gate, _sstruct(
+                    F.concat(https, host, F.lit("/api/subcomments/"),
+                             cm["id"], F.lit("?cursor=0")),
+                    host, priority, depth + 1, keyword, page, i, F.lit(0), F.lit("0"),
+                ))
+            pieces.append(_guard(
+                (kind == "comments") & (c("platform") != "tieba") & c("cpage").isNotNull(),
+                F.filter(F.transform(c("cpage.comments"), _sub_one),
+                         lambda s: s.isNotNull()),
+            ))
+
+            # tieba sub panes: pn=1..(comment_num//10+1), the reference's
+            # max_sub_page_num formula verbatim (tieba/client.py:267)
+            def _tb_sub_one(cm, i):
+                gate = cm["sub_comment_count"] > 0
+                if mc is not None:
+                    gate = gate & (cursor_seq * ps + i < mc)
+                nsp = (F.floor(cm["sub_comment_count"] / 10) + 1).cast("int")
+                return F.when(gate, F.transform(
+                    F.sequence(F.lit(1), nsp),
+                    lambda pn: _sstruct(
+                        F.concat(https, host, F.lit("/p/comment?tid="),
+                                 c("cpage.note_id"), F.lit("&pid="), cm["id"],
+                                 F.lit("&pn="), pn.cast("string")),
+                        host, priority, depth + 1, keyword, page, i,
+                        pn - 1, pn.cast("string"),
+                    ),
+                ))
+            pieces.append(_guard(
+                (c("platform") == "tieba") & (kind != "subcomments")
+                & c("cpage").isNotNull(),
+                F.flatten(F.filter(F.transform(c("cpage.comments"), _tb_sub_one),
+                                   lambda a: a.isNotNull())),
+            ))
+
+        # tieba thread reply pages ?pn=2..total_replay_page (S10 page range,
+        # tieba/client.py:198-235; W1 trims pages wholly past the budget)
+        pn_hi = c("tnote.total_replay_page").try_cast("int")
+        if mc is not None:
+            pn_hi = F.least(pn_hi, F.lit(-(-mc // ps)))
+        pieces.append(_guard(
+            (kind == "content") & (c("platform") == "tieba")
+            & c("tnote").isNotNull() & (pn_hi >= 2),
+            F.transform(
+                F.sequence(F.lit(2), pn_hi),
+                lambda pn: _sstruct(
+                    F.concat(https, host, F.lit("/p/"), c("tnote.note_id"),
+                             F.lit("?pn="), pn.cast("string")),
+                    host, priority, depth + 1, keyword, page, item_idx,
+                    pn - 1, pn.cast("string"),
+                ),
+            ),
+        ))
+
+        # search listing → note detail seeds (S1–S7 → J1 fan-out)
+        pieces.append(_guard(
+            (kind == "search") & c("spage").isNotNull(),
+            F.filter(
+                F.transform(
+                    c("spage.note_urls"),
+                    lambda u, i: _sstruct(
+                        u, F.parse_url(u, F.lit("HOST")), priority, depth + 1,
+                        keyword, c("spage.search_page"), i, F.lit(0),
+                        F.lit(None).cast("string"),
+                    ),
+                ),
+                lambda s: s["url"].isNotNull(),
+            ),
+        ))
+
+        # next search page (S2/S3/S7 reference-identical cursor math)
+        next_pg = c("spage.search_page") + 1
+        search_gate = c("spage.has_more")
+        if self.max_search_pages is not None:
+            search_gate = search_gate & (next_pg <= F.lit(self.max_search_pages))
+        pieces.append(_guard(
+            (kind == "search") & search_gate,
+            F.array(_sstruct(
+                F.concat(https, host, F.lit("/search/"), c("spage.search_kw"),
+                         F.lit("?page="), next_pg.cast("string")),
+                host, priority, depth, keyword, next_pg, F.lit(0), F.lit(0),
+                X.search_cursor_col(c("platform"), next_pg, c("spage.session_id")),
+            )),
+        ))
+
+        uid = F.regexp_extract(c("url"), r"/user/([^/?]+)", 1)
+        if self.crawl_creator_posts:
+            # creator profile → posts cursor page 0 (S14/J4)
+            pieces.append(_guard(
+                kind == "creator",
+                F.array(_sstruct(
+                    F.concat(https, host, F.lit("/user/"), uid, F.lit("/posts?cursor=0")),
+                    host, priority, depth + 1, keyword, page, item_idx,
+                    F.lit(0), F.lit("0"),
+                )),
+            ))
+            # posts listing → note seeds (inherit the page's cursor_seq)
+            def _post_note(u, i):
+                s = _sstruct(
+                    u, F.parse_url(u, F.lit("HOST")), priority, depth + 1,
+                    keyword, page, i, cursor_seq, F.lit(None).cast("string"),
+                )
+                if self.max_creator_posts is not None:
+                    return F.when(
+                        cursor_seq * self.posts_page_size + i < self.max_creator_posts, s
+                    )
+                return s
+            pieces.append(_guard(
+                (kind == "creator_posts") & c("ppage").isNotNull(),
+                F.filter(
+                    F.transform(c("ppage.note_urls"), _post_note),
+                    lambda s: s.isNotNull() & s["url"].isNotNull(),
+                ),
+            ))
+            posts_gate = c("ppage.has_more")
+            if self.max_creator_posts is not None:
+                posts_gate = posts_gate & (
+                    (cursor_seq + 1) * self.posts_page_size < self.max_creator_posts
+                )
+            pieces.append(_guard(
+                (kind == "creator_posts") & posts_gate,
+                F.array(_sstruct(
+                    F.concat(https, host, F.lit("/user/"), c("ppage.target_uid"),
+                             F.lit("/posts?cursor="), c("ppage.next_cursor")),
+                    host, priority, depth, keyword, page, item_idx,
+                    cursor_seq + 1, c("ppage.next_cursor"),
+                )),
+            ))
+
+        if self.crawl_contacts:
+            # bilibili creator → fans/followings/dynamics page 1 (S15/S16/J5)
+            pieces.append(_guard(
+                (kind == "creator") & (c("platform") == "bilibili"),
+                F.array(
+                    _sstruct(
+                        F.concat(https, host, F.lit("/user/"), uid, F.lit("/fans?pn=1")),
+                        host, priority, depth + 1, keyword, page, item_idx,
+                        F.lit(0), F.lit("1"),
+                    ),
+                    _sstruct(
+                        F.concat(https, host, F.lit("/user/"), uid, F.lit("/followings?pn=1")),
+                        host, priority, depth + 1, keyword, page, item_idx,
+                        F.lit(0), F.lit("1"),
+                    ),
+                    _sstruct(
+                        F.concat(https, host, F.lit("/user/"), uid, F.lit("/dynamics?offset=0")),
+                        host, priority, depth + 1, keyword, page, item_idx,
+                        F.lit(0), F.lit("0"),
+                    ),
+                ),
+            ))
+            fans_gate = c("fpage.has_more")
+            if self.max_contacts is not None:
+                fans_gate = fans_gate & (
+                    (cursor_seq + 1) * self.contacts_page_size < self.max_contacts
+                )
+            pieces.append(_guard(
+                kind.isin("fans", "followings") & fans_gate,
+                F.array(_sstruct(
+                    F.concat(https, host, F.lit("/user/"), c("fpage.target_uid"),
+                             F.when(kind == "fans", F.lit("/fans?pn="))
+                             .otherwise(F.lit("/followings?pn=")),
+                             (cursor_seq + 2).cast("string")),
+                    host, priority, depth, keyword, page, item_idx,
+                    cursor_seq + 1, (cursor_seq + 2).cast("string"),
+                )),
+            ))
+            dyn_gate = c("dpage.has_more")
+            if self.max_dynamics is not None:
+                dyn_gate = dyn_gate & (
+                    (cursor_seq + 1) * self.dynamics_page_size < self.max_dynamics
+                )
+            pieces.append(_guard(
+                (kind == "dynamics") & dyn_gate,
+                F.array(_sstruct(
+                    F.concat(https, host, F.lit("/user/"), c("dpage.target_uid"),
+                             F.lit("/dynamics?offset="), c("dpage.next_offset")),
+                    host, priority, depth, keyword, page, item_idx,
+                    cursor_seq + 1, c("dpage.next_offset"),
+                )),
+            ))
+
+        self._seed_arr = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        return self._seed_arr
+
     def _round(self, frontier: DataFrame, seen: DataFrame, round_id: int):
         scheduled, denied = sched.select_round(
             frontier, self.robots, round_id, self.n_salts, self.global_limit
@@ -603,11 +843,11 @@ class CrawlEngine:
         rc = _round_cols()
         kind = F.col("kind")
 
+        rlit = F.lit(round_id).alias("round_id")
+
         # --- content (P1 + E2–E5) ---
         content_rows = parsed.filter(kind == "content")
-        content = content_rows.select(*rc["content"]).withColumn("round_id", F.lit(round_id))
-        # comment-count discovery from the page body → seed first cursor page
-        comment_seeds = content_rows.filter(F.col("n_comments") > 0).select(*rc["comment_seed"])
+        content = content_rows.select(*rc["content"], rlit)
 
         # --- comment expansion (J2/J3; tieba detail rows carry page-1
         # comments on their cpage, so the filter keys on cpage presence) ---
@@ -617,8 +857,7 @@ class CrawlEngine:
         cx = cbase.select(*rc["cx_stage1"]).select(*rc["cx_stage2"])
         comments = (
             cx.filter(F.col("comment_id").isNotNull())
-            .select(*rc["comments"])
-            .withColumn("round_id", F.lit(round_id))
+            .select(*rc["comments"], rlit)
         )
         # W1 per-note top-level comment budget (reference trims at
         # collection, xhs/client.py:347-356): a top-level comment's global
@@ -631,32 +870,11 @@ class CrawlEngine:
                 F.col("parent_comment_id").isNotNull() | (pos < mc)
             )
 
-        cursor_gate = F.col("cpage.has_more")
-        # generic /api/subcomments cursor walk; tieba sub panes are seeded
-        # page-range-at-once below (the reference's max_sub_page_num math)
-        sub_gate = (
-            (F.col("kind") == "comments")
-            & (F.col("platform") != "tieba")
-            & (F.col("sub_comment_count") > 0)
-        )
-        if self.max_comments_per_note is not None:
-            mc, ps = self.max_comments_per_note, self.comment_page_size
-            # stop paging a note once the budget is reachable on fetched pages
-            cursor_gate = cursor_gate & (
-                (kind != "comments") | ((F.col("cursor_seq") + 1) * ps < mc)
-            )
-            # comments past the budget don't expand their sub-threads either
-            sub_gate = sub_gate & (F.col("cursor_seq") * ps + F.col("item_idx") < mc)
-        next_cursor_seeds = cbase.filter(cursor_gate).select(*rc["next_cursor_seed"])
-        sub_seeds = (
-            cx.filter(sub_gate).select(*rc["sub_seed"])
-            if self.enable_sub_comments
-            else self._empty_seeds()
-        )
+        # (comment/sub-comment/tieba-page/search/posts/contacts seed
+        # emission now lives in _seed_array_col — one projection below)
 
-        # --- tieba thread-page walk (S6/S10 in-loop: the reference's tieba
+        # --- tieba thread-page notes (S6/S10 in-loop: the reference's tieba
         # crawl IS the six HTML extractors, tieba/core.py:113-205) ---
-        mc, ps = self.max_comments_per_note, self.comment_page_size
         tb_detail = parsed.filter(
             (F.col("platform") == "tieba") & (kind == "content") & F.col("tnote").isNotNull()
         )
@@ -666,57 +884,8 @@ class CrawlEngine:
             F.col("page").alias("ord_page"),
             F.col("item_idx").alias("ord_item_idx"),
             F.col("cursor_seq").alias("ord_cursor_seq"),
-        ).withColumn("round_id", F.lit(round_id))
-        # reply pages ?pn=2..total_replay_page, seeded as the known range
-        # (the reference loops pn to total_replay_page, tieba/client.py:198-235;
-        # under W1 pages wholly past the budget are never requested)
-        # try_cast: the extractor yields '' when the reply-num spans are
-        # absent (ANSI cast would fail the task); no pages seeded then
-        pn_hi = F.col("tnote.total_replay_page").try_cast("int")
-        if mc is not None:
-            pn_hi = F.least(pn_hi, F.ceil(F.lit(mc) / F.lit(ps)).cast("int"))
-        tb_pn = tb_detail.select(
-            "host", "priority", "depth", "keyword", "page", "item_idx",
-            F.col("tnote.note_id").alias("_nid"),
-            pn_hi.alias("_hi"),
-        ).filter(F.col("_hi") >= 2).select(
-            "*", F.explode(F.sequence(F.lit(2), F.col("_hi"))).alias("_pn")
+            rlit,
         )
-        tb_pn_seeds = tb_pn.select(*_seed_cols(
-            F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"), F.col("_nid"),
-                     F.lit("?pn="), F.col("_pn").cast("string")),
-            F.col("host"), F.col("priority"), F.col("depth") + 1, F.col("keyword"),
-            F.col("page"), F.col("item_idx"), F.col("_pn") - 1,
-            F.col("_pn").cast("string"),
-        ))
-        # sub panes pn=1..(comment_num//10+1) — the reference's
-        # max_sub_page_num formula verbatim incl. its off-by-one quirk
-        # (10 subs → 2 pages, the second empty; tieba/client.py:267)
-        if self.enable_sub_comments:
-            tb_subbase = cx.filter(
-                (F.col("platform") == "tieba")
-                & (F.col("kind") != "subcomments")
-                & (F.col("sub_comment_count") > 0)
-            )
-            if mc is not None:
-                tb_pos = F.col("cursor_seq") * ps + F.col("item_idx")
-                tb_subbase = tb_subbase.filter(tb_pos < mc)
-            tb_sub = tb_subbase.select(
-                "host", "priority", "depth", "keyword", "page", "item_idx",
-                F.col("note_id_pg").alias("_tid"),
-                F.col("comment_id").alias("_pid"),
-                (F.floor(F.col("sub_comment_count") / 10) + 1).cast("int").alias("_nsp"),
-            ).select("*", F.explode(F.sequence(F.lit(1), F.col("_nsp"))).alias("_pn"))
-            tb_sub_seeds = tb_sub.select(*_seed_cols(
-                F.concat(F.lit("https://"), F.col("host"), F.lit("/p/comment?tid="),
-                         F.col("_tid"), F.lit("&pid="), F.col("_pid"),
-                         F.lit("&pn="), F.col("_pn").cast("string")),
-                F.col("host"), F.col("priority"), F.col("depth") + 1, F.col("keyword"),
-                F.col("page"), F.col("item_idx"), F.col("_pn") - 1,
-                F.col("_pn").cast("string"),
-            ))
-        else:
-            tb_sub_seeds = self._empty_seeds()
 
         # --- zhihu comment rows, full field surface (E3 comments:
         # _extract_comment + author member fallback, zhihu/help.py:213-298) ---
@@ -739,34 +908,12 @@ class CrawlEngine:
             *Z._author_cols(zc["author"])[:4],
             F.col("cursor_seq").alias("ord_cursor_seq"),
             F.col("z_idx").alias("ord_item_idx"),
-        ).withColumn("round_id", F.lit(round_id))
-
-        # --- search-page expansion (S1–S7: keyword page loop → J1 fan-out) ---
-        sbase = parsed.filter(kind == "search")
-        sx = sbase.select(*rc["sx"])
-        note_seeds = sx.filter(F.col("note_url").isNotNull()).select(*rc["note_seed"])
-        next_search_gate = F.col("spage.has_more") & (
-            F.lit(True)
-            if self.max_search_pages is None
-            else (F.col("spage.search_page") + 1 <= F.lit(self.max_search_pages))
-        )
-        next_pg = F.col("spage.search_page") + 1
-        next_search_seeds = sbase.filter(next_search_gate).select(
-            *_seed_cols(
-                F.concat(F.lit("https://"), F.col("host"), F.lit("/search/"),
-                         F.col("spage.search_kw"), F.lit("?page="), next_pg.cast("string")),
-                F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"),
-                next_pg, F.lit(0), F.lit(0),
-                # S2/S3/S7 pagination math: the reference-identical cursor
-                # string for the next page (kuaishou carries the session id
-                # returned by this page's response, kuaishou/core.py:155)
-                X.search_cursor_col(F.col("platform"), next_pg, F.col("spage.session_id")),
-            )
+            rlit,
         )
 
         # --- creator profiles (S13, §3.3 creator mode) ---
         crbase = parsed.filter(kind == "creator")
-        creators = crbase.select(*rc["creators"]).withColumn("round_id", F.lit(round_id))
+        creators = crbase.select(*rc["creators"], rlit)
         if self.crawl_creators:
             # same author on many notes → one seed; the winner's ordering
             # metadata is the MIN (keyword,page,item_idx) — deterministic,
@@ -798,114 +945,26 @@ class CrawlEngine:
                 )
             )
         else:
-            creator_seeds = self._empty_seeds()
+            creator_seeds = None  # folded into _seed_array_col paths only
 
-        # --- creator-posts cursor walk (S14/J4) ---
-        # Creator profile pages seed the posts cursor (reference: creator
-        # mode fetches the profile then walks get_all_notes_by_creator,
-        # xhs/core.py get_creators_and_notes → client.py:473-519). The
-        # reference's initial cursor is "" — the synth corpus addresses
-        # page 0 as cursor=0.
-        if self.crawl_creator_posts:
-            uid = F.regexp_extract(F.col("url"), r"/user/([^/?]+)", 1)
-            posts_seed0 = crbase.select(
-                *_seed_cols(
-                    F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
-                             uid, F.lit("/posts?cursor=0")),
-                    F.col("host"), F.col("priority"), F.col("depth") + 1,
-                    F.col("keyword"), F.col("page"), F.col("item_idx"),
-                    F.lit(0), F.lit("0"),
-                )
-            )
-            pbase = parsed.filter(kind == "creator_posts")
-            px = pbase.select(*rc["px"])
-            posts_note_seeds = px.filter(F.col("note_url").isNotNull()).select(
-                *rc["posts_note_seed"]
-            )
-            posts_gate = F.col("ppage.has_more")
-            if self.max_creator_posts is not None:
-                # CRAWLER_MAX_NOTES_COUNT analog: stop paging once the cap
-                # is reachable on fetched pages (xhs/client.py:492)
-                posts_gate = posts_gate & (
-                    (F.col("cursor_seq") + 1) * self.posts_page_size < self.max_creator_posts
-                )
-            next_posts_seeds = pbase.filter(posts_gate).select(*rc["next_posts_seed"])
-            if self.max_creator_posts is not None:
-                # trim note fan-out past the cap (position on the cursor walk)
-                pos = F.col("cursor_seq") * self.posts_page_size + F.col("item_idx")
-                posts_note_seeds = posts_note_seeds.filter(pos < self.max_creator_posts)
-        else:
-            posts_seed0 = self._empty_seeds()
-            posts_note_seeds = self._empty_seeds()
-            next_posts_seeds = self._empty_seeds()
-
-        # --- bilibili contact/dynamics walk (S15/S16/J5) ---
+        # --- bilibili contact/dynamics edge rows (S15/S16/J5 outputs; their
+        # cursor-walk seeds live in _seed_array_col) ---
         if self.crawl_contacts:
-            uid = F.regexp_extract(F.col("url"), r"/user/([^/?]+)", 1)
-            bili_creators = crbase.filter(F.col("platform") == "bilibili")
-            edge_seed0 = _union_all([
-                bili_creators.select(
-                    *_seed_cols(
-                        F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
-                                 uid, F.lit(edge_kind + "?pn=1")),
-                        F.col("host"), F.col("priority"), F.col("depth") + 1,
-                        F.col("keyword"), F.col("page"), F.col("item_idx"),
-                        F.lit(0), F.lit("1"),  # START_CONTACTS_PAGE = 1
-                    )
-                )
-                for edge_kind in ("/fans", "/followings")
-            ] + [
-                bili_creators.select(
-                    *_seed_cols(
-                        F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
-                                 uid, F.lit("/dynamics?offset=0")),
-                        F.col("host"), F.col("priority"), F.col("depth") + 1,
-                        F.col("keyword"), F.col("page"), F.col("item_idx"),
-                        F.lit(0), F.lit("0"),
-                    )
-                )
-            ])
             fbase = parsed.filter(kind.isin("fans", "followings"))
             fx = fbase.select(*rc["fx"])
             contacts = fx.filter(F.col("u").isNotNull())
             if self.max_contacts is not None:
                 cpos = F.col("cursor_seq") * self.contacts_page_size + F.col("fx_idx")
                 contacts = contacts.filter(cpos < self.max_contacts)
-            contacts = contacts.select(*rc["contacts"]).withColumn("round_id", F.lit(round_id))
-            fans_gate = F.col("fpage.has_more")
-            if self.max_contacts is not None:
-                fans_gate = fans_gate & (
-                    (F.col("cursor_seq") + 1) * self.contacts_page_size < self.max_contacts
-                )
-            next_contact_seeds = fbase.filter(fans_gate).select(
-                *_seed_cols(
-                    F.concat(F.lit("https://"), F.col("host"), F.lit("/user/"),
-                             F.col("fpage.target_uid"),
-                             F.when(kind == "fans", F.lit("/fans?pn="))
-                             .otherwise(F.lit("/followings?pn=")),
-                             (F.col("cursor_seq") + 2).cast("string")),
-                    F.col("host"), F.col("priority"), F.col("depth"), F.col("keyword"),
-                    F.col("page"), F.col("item_idx"), F.col("cursor_seq") + 1,
-                    (F.col("cursor_seq") + 2).cast("string"),
-                )
-            )
+            contacts = contacts.select(*rc["contacts"], rlit)
             dbase = parsed.filter(kind == "dynamics")
             dx = dbase.select(*rc["dx"])
             dynamics = dx.filter(F.col("it").isNotNull())
             if self.max_dynamics is not None:
                 dpos = F.col("cursor_seq") * self.dynamics_page_size + F.col("dx_idx")
                 dynamics = dynamics.filter(dpos < self.max_dynamics)
-            dynamics = dynamics.select(*rc["dynamics"]).withColumn("round_id", F.lit(round_id))
-            dyn_gate = F.col("dpage.has_more")
-            if self.max_dynamics is not None:
-                dyn_gate = dyn_gate & (
-                    (F.col("cursor_seq") + 1) * self.dynamics_page_size < self.max_dynamics
-                )
-            next_dyn_seeds = dbase.filter(dyn_gate).select(*rc["next_dynamics_seed"])
+            dynamics = dynamics.select(*rc["dynamics"], rlit)
         else:
-            edge_seed0 = self._empty_seeds()
-            next_contact_seeds = self._empty_seeds()
-            next_dyn_seeds = self._empty_seeds()
             contacts = self._empty(DELTA_DDL["contacts"])
             dynamics = self._empty(DELTA_DDL["dynamics"])
 
@@ -915,14 +974,13 @@ class CrawlEngine:
         # survivor is the deterministic MIN over the ordering key (null
         # keyword compares as '' — same rule as the scheduler and the
         # sequential simulator, reference_sim.py best-dict).
+        seeds = parsed.select(
+            F.explode(self._seed_array_col()).alias("_s")
+        ).select("_s.*")
+        if self.crawl_creators:
+            seeds = seeds.unionByName(creator_seeds)
         discovered = (
-            _union_all([
-                comment_seeds, next_cursor_seeds, sub_seeds, tb_pn_seeds,
-                tb_sub_seeds, note_seeds,
-                next_search_seeds, creator_seeds, posts_seed0,
-                posts_note_seeds, next_posts_seeds, edge_seed0,
-                next_contact_seeds, next_dyn_seeds,
-            ])
+            seeds
             .groupBy("url", "host")
             .agg(
                 F.min(
@@ -957,28 +1015,24 @@ class CrawlEngine:
         else:
             new_urls = seen_ops.unseen_exact(discovered, seen)
         new_urls = new_urls.join(active_urls, on="url", how="left_anti")
-        new_frontier_rows = (
-            new_urls.select(*rc["new_frontier"])
-            # politeness: newly discovered URLs wait at least one round
-            # (crawl_delay analog; retries use exponential backoff below)
-            .withColumn("not_before_round", F.lit(round_id + 1))
-            .withColumn("round_id", F.lit(round_id))
-            .select(*_FRONTIER_COLS)
-        )
+        # politeness: newly discovered URLs wait at least one round
+        # (crawl_delay analog; retries use exponential backoff below)
+        new_frontier_rows = new_urls.select(
+            *rc["new_frontier"],
+            F.lit(round_id + 1).alias("not_before_round"),
+            F.lit(round_id).alias("round_id"),
+        ).select(*_FRONTIER_COLS)
 
-        retries = (
-            misses.withColumn("attempts", F.col("attempts") + 1)
-            .withColumn(
-                "state",
-                F.when(F.col("attempts") >= MAX_ATTEMPTS, F.lit("failed")).otherwise(F.lit("open")),
-            )
-            .withColumn(
-                "not_before_round",
-                F.lit(round_id) + sched.backoff_round(F.col("attempts")),
-            )
-            .withColumn("round_id", F.lit(round_id))
-            .select(*_FRONTIER_COLS)
-        )
+        na = F.col("attempts") + 1
+        retries = misses.select(
+            "url", "host", "priority", "depth",
+            F.when(na >= MAX_ATTEMPTS, F.lit("failed")).otherwise(F.lit("open")).alias("state"),
+            "cursor",
+            na.alias("attempts"),
+            (F.lit(round_id) + sched.backoff_round(na)).alias("not_before_round"),
+            "keyword", "page", "item_idx", "cursor_seq",
+            F.lit(round_id).alias("round_id"),
+        ).select(*_FRONTIER_COLS)
         # terminal failed table (north_rule lineage: exhausted-retry rows are
         # queryable, like denied — they never silently vanish)
         failed = retries.filter(F.col("state") == "failed")
@@ -995,7 +1049,7 @@ class CrawlEngine:
 
         # seen delta (append-only log): only this round's fetched URLs —
         # the full seen table is never rewritten
-        seen_delta = parsed.select("url").withColumn("round_id", F.lit(round_id))
+        seen_delta = parsed.select("url", F.lit(round_id).alias("round_id"))
 
         # --- per-host round metrics (north_rule lineage counters) ---
         # one tagged union + one aggregation (scheduled = fetched ∪ misses)
@@ -1095,6 +1149,7 @@ class CrawlEngine:
         if start_round == 0:
             # fresh start over an existing dir: stale round shards must not
             # leak into the path-level seen-log listing
+            self._mux_read_cache.clear()
             for d in round_dirs:
                 shutil.rmtree(os.path.join(base, d))
             frontier = self._materialize(self.seed_frontier(seeds), 0, "frontier_seed")
@@ -1173,6 +1228,7 @@ class CrawlEngine:
         )
 
     def clear_checkpoint(self):
+        self._mux_read_cache.clear()
         if self.ckpt and os.path.isdir(self.ckpt):
             shutil.rmtree(self.ckpt)
 
