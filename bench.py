@@ -58,7 +58,14 @@ def run_crawl_bench(spark, sf_dir: str, max_rounds: int = 8):
     from mediacrawler_spark import synth
     from mediacrawler_spark.plans.crawl import CrawlEngine
 
-    pages = synth.build_pages(spark, sf_dir).persist()
+    # cache the synthetic corpus at a width matched to its size (~6k rows/
+    # partition): every round's fetch-join scans this cache, and a 32-wide
+    # cache of a 50k-row corpus pays 4x the task-launch overhead per scan
+    # for no parallelism gain (a real deployment reads a url-bucketed table
+    # whose width follows the data, tools/scaling_bench.py)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # footer-only
+    width = max(8, min(spark.sparkContext.defaultParallelism, n_docs // 2000))
+    pages = synth.build_pages(spark, sf_dir).repartition(width).persist()
     n_pages = pages.count()
     seeds = synth.build_seeds(spark, sf_dir)
     robots = synth.build_robots(spark).withColumn(

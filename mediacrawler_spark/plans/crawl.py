@@ -815,6 +815,7 @@ class CrawlEngine:
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
         self._small_round = n_scheduled < 20_000
+        self._last_n_scheduled = n_scheduled
         # Fetch-join (J1) — see fetch_join in __init__.
         colocated = self.fetch_join == "colocated" or (
             self.fetch_join == "auto" and n_scheduled > self.broadcast_threshold
@@ -1156,7 +1157,19 @@ class CrawlEngine:
 
         r = start_round
         debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
+        # Adaptive shuffle width: politeness-bounded rounds are often 10^3
+        # rows on a session tuned for 10^6+ — a 32-wide window/groupBy over
+        # 2k rows is pure task-launch overhead (measured ~25% of round wall
+        # at sf0.1). Size this round's shuffles from the LAST round's
+        # scheduled count (AQE coalesces post-shuffle partitions but not
+        # map-side task counts); big rounds keep the session default.
+        default_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._last_n_scheduled = None
         for r in range(start_round, max_rounds):
+            if self._last_n_scheduled is not None:
+                width = default_shuffle if self._last_n_scheduled >= 20_000 \
+                    else min(8, default_shuffle)
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
             t0 = time.time()
             seen = self._read_seen(r)
             tables, seen_delta, frontier_next = self._round(frontier, seen, r)
@@ -1207,6 +1220,7 @@ class CrawlEngine:
                 )
             if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
                 break
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(default_shuffle))
 
         def table(name: str) -> DataFrame:
             return _union_all(deltas[name]) if deltas[name] else self._empty(DELTA_DDL[name])
