@@ -67,7 +67,10 @@ def run_crawl_bench(spark, sf_dir: str, max_rounds: int = 8):
     width = max(8, min(spark.sparkContext.defaultParallelism, n_docs // 2000))
     pages = synth.build_pages(spark, sf_dir).repartition(width).persist()
     n_pages = pages.count()
-    seeds = synth.build_seeds(spark, sf_dir)
+    # malformed-seed retry chain excluded: it pins small crawls to ~7 rounds
+    # minimum through the backoff schedule (a test concern, not a throughput
+    # one); see BENCH/BASELINE.md round-count note.
+    seeds = synth.build_seeds(spark, sf_dir, include_malformed=False)
     robots = synth.build_robots(spark).withColumn(
         # open the per-round throttle for the throughput benchmark: politeness
         # stays per-host-windowed but with a budget matched to corpus size
@@ -93,8 +96,9 @@ def run_crawl_bench(spark, sf_dir: str, max_rounds: int = 8):
 
 
 def _median(vals):
-    vals = sorted(vals)
-    return vals[len(vals) // 2]
+    import statistics
+
+    return statistics.median(vals)
 
 
 def main():

@@ -451,7 +451,13 @@ def _parse_cols(comment_order: str = "default") -> list:
         tb_note["note_id"].alias("note_id"),
         tb_note["title"].alias("title"),
         tb_note["desc"].alias("desc"),
-        F.regexp_extract(tb_note["user_link"], r"[?&]id=([^&]+)", 1).alias("user_id"),
+        # nullif: regexp_extract yields '' (not NULL) on a user_link without
+        # an id param; '' would pass the creator-seed isNotNull gate and seed
+        # a bogus /user/ URL where the simulator (re.search → None) seeds
+        # nothing — absent ids must be NULL like the other platforms.
+        F.nullif(
+            F.regexp_extract(tb_note["user_link"], r"[?&]id=([^&]+)", 1), F.lit("")
+        ).alias("user_id"),
         tb_note["user_nickname"].alias("nickname"),
         F.lit(None).cast("string").alias("liked_count"),
         F.lit(None).cast("long").alias("time"),

@@ -112,13 +112,17 @@ def _balanced_inner(s: str, open_pat: str, tag: str) -> str:
         return ""
     start = m.end()
     depth = 1
-    token = re.compile(rf"<{tag}\b|</{tag}\s*>", re.IGNORECASE)
+    # full open tags matched through their '>' so self-closing ('<div/>')
+    # can be told apart and skipped — they open no scope, and counting them
+    # as depth+1 made the capture run to end-of-string on sloppy markup
+    token = re.compile(rf"<{tag}\b[^>]*>|</{tag}\s*>", re.IGNORECASE)
     for t in token.finditer(s, start):
-        if t.group(0).startswith("</"):
+        tok = t.group(0)
+        if tok.startswith("</"):
             depth -= 1
             if depth == 0:
                 return s[start:t.start()]
-        else:
+        elif not tok.rstrip(">").endswith("/"):
             depth += 1
     return s[start:]
 
@@ -314,7 +318,7 @@ def extract_creator_info(page: str) -> dict:
 def extract_thread_ids_from_creator_page(page: str) -> list[str]:
     """Creator home page → thread-id list (help.py:241-265,
     ``//ul[@class='new_list clearfix']//div[@class='thread_name']/a[1]/@href``)."""
-    body = _first(r'<ul class="new_list clearfix">(.*?)</ul>', page)
+    body = _balanced_inner(page, r'<ul class="new_list clearfix">', "ul")
     ids = []
     for b in _blocks(body, '<div class="thread_name">'):
         href = _first(r'<a[^>]*href="([^"]*)"', b)

@@ -85,7 +85,7 @@ _FRONTIER_DDL = (
 # Round-output table schemas (used to reconstruct empty frames when a round
 # produced no rows for a table — the multiplexed write then has no subdir).
 # ``frontier`` (next round's state) and ``seen`` (this round's fetched URLs,
-# the append-only seen log) ride in the SAME multiplexed write as the eight
+# the append-only seen log) ride in the SAME multiplexed write as the ten
 # output tables: ONE write job per round instead of three. The 2→8-core
 # scaling matrix showed the write phases binding at ~0.46 efficiency on the
 # shared virtual disk while the data plane held 0.85 — merging the jobs
@@ -815,7 +815,17 @@ class CrawlEngine:
         scheduled = scheduled.persist()
         n_scheduled = scheduled.count()
         self._small_round = n_scheduled < 20_000
-        self._last_n_scheduled = n_scheduled
+        # Adaptive shuffle width, sized from THIS round's scheduled count
+        # (politeness-bounded rounds are often 10^3 rows on a session tuned
+        # for 10^6+ — a 32-wide groupBy over 2k rows is pure task-launch
+        # overhead, measured ~25% of round wall at sf0.1). The count above
+        # already ran the select phase, so everything downstream — parse,
+        # dedup, the mux write — sees the right width even on a small-to-
+        # large frontier transition. run() restores the session default in
+        # a finally.
+        width = self._default_shuffle if not self._small_round \
+            else min(8, self._default_shuffle)
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
         # Fetch-join (J1) — see fetch_join in __init__.
         colocated = self.fetch_join == "colocated" or (
             self.fetch_join == "auto" and n_scheduled > self.broadcast_threshold
@@ -1119,7 +1129,11 @@ class CrawlEngine:
     def run(self, seeds: DataFrame, max_rounds: int = 50, resume: bool = False) -> CrawlResult:
         spark = self.spark
         start_round = 0
-        deltas: dict[str, list[DataFrame]] = {name: [] for name in _DELTA_ORDER}
+        # rounds whose mux write committed — CrawlResult reads each table
+        # back as ONE multi-path parquet scan over these (constant plan
+        # depth; the former per-round unionByName chain grew linearly and
+        # became a driver-analysis cost at hundreds of rounds)
+        written_rounds: list[int] = []
 
         if self.ckpt:
             self._scratch = None
@@ -1143,10 +1157,8 @@ class CrawlEngine:
                 frontier = self._read_delta(last_rid, "frontier")
                 start_round = last_rid + 1
                 self._seen_count = self._read_seen(start_round).count()
-                for d in done:  # carry forward prior rounds' outputs
-                    rid = int(d.split("=")[1])
-                    for name in _DELTA_ORDER:
-                        deltas[name].append(self._read_delta(rid, name))
+                # prior rounds' outputs carry forward by path
+                written_rounds.extend(int(d.split("=")[1]) for d in done)
         if start_round == 0:
             # fresh start over an existing dir: stale round shards must not
             # leak into the path-level seen-log listing
@@ -1157,73 +1169,83 @@ class CrawlEngine:
 
         r = start_round
         debug = os.environ.get("SPARK_GRAFT_CRAWL_DEBUG") == "1"
-        # Adaptive shuffle width: politeness-bounded rounds are often 10^3
-        # rows on a session tuned for 10^6+ — a 32-wide window/groupBy over
-        # 2k rows is pure task-launch overhead (measured ~25% of round wall
-        # at sf0.1). Size this round's shuffles from the LAST round's
-        # scheduled count (AQE coalesces post-shuffle partitions but not
-        # map-side task counts); big rounds keep the session default.
-        default_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        self._last_n_scheduled = None
-        for r in range(start_round, max_rounds):
-            if self._last_n_scheduled is not None:
-                width = default_shuffle if self._last_n_scheduled >= 20_000 \
-                    else min(8, default_shuffle)
-                self.spark.conf.set("spark.sql.shuffle.partitions", str(width))
-            t0 = time.time()
-            seen = self._read_seen(r)
-            tables, seen_delta, frontier_next = self._round(frontier, seen, r)
-            tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
-            tables["seen"] = seen_delta
-            tables["frontier"] = frontier_next
-            t_build = time.time() - t0
+        # Adaptive shuffle width (set per round inside _round once the
+        # scheduled count is known); the session default is restored in the
+        # finally even if a round raises mid-run — the session is shared.
+        self._default_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            for r in range(start_round, max_rounds):
+                t0 = time.time()
+                seen = self._read_seen(r)
+                tables, seen_delta, frontier_next = self._round(frontier, seen, r)
+                tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
+                tables["seen"] = seen_delta
+                tables["frontier"] = frontier_next
+                t_build = time.time() - t0
 
-            # Warm the round cache with ONE narrow pass (the parse compute)
-            # before the fan-out write: the 15 mux branches then all hit a
-            # populated cache instead of stampeding the same partitions.
-            t1 = time.time()
-            delta_n = seen_delta.count()
-            self._seen_count += delta_n
-            t_parse = time.time() - t1
+                # Warm the round cache with ONE narrow pass (the parse
+                # compute) before the fan-out write: the 15 mux branches then
+                # all hit a populated cache instead of stampeding the same
+                # partitions.
+                t1 = time.time()
+                delta_n = seen_delta.count()
+                self._seen_count += delta_n
+                t_parse = time.time() - t1
 
-            # ONE write job persists every round output (8 tables + seen
-            # delta + next frontier); its _SUCCESS marks the round complete.
-            t1 = time.time()
-            out = self._write_deltas(tables, r)
-            for name in _DELTA_ORDER:
-                deltas[name].append(out[name])
-            frontier = out["frontier"]
-            t_write = time.time() - t1
+                # ONE write job persists every round output (10 tables + seen
+                # delta + next frontier); its _SUCCESS marks the round done.
+                t1 = time.time()
+                out = self._write_deltas(tables, r)
+                written_rounds.append(r)
+                frontier = out["frontier"]
+                t_write = time.time() - t1
 
-            # incremental Bloom maintenance (delta merge, never a rebuild
-            # once active) — fed from the read-back, no recompute
-            if self.use_bloom:
-                if self._bloom is None and self._seen_count >= self.bloom_min_seen:
-                    self._bloom = seen_ops.ShardedBloom.build(
-                        self._read_seen(r + 1),
-                        expected_per_shard=self.bloom_capacity_per_shard,
-                    )
-                elif self._bloom is not None and delta_n > 0:
-                    self._bloom = self._bloom.merge(
-                        seen_ops.ShardedBloom.build(
-                            out["seen"],
+                # incremental Bloom maintenance (delta merge, never a rebuild
+                # once active) — fed from the read-back, no recompute
+                if self.use_bloom:
+                    if self._bloom is None and self._seen_count >= self.bloom_min_seen:
+                        self._bloom = seen_ops.ShardedBloom.build(
+                            self._read_seen(r + 1),
                             expected_per_shard=self.bloom_capacity_per_shard,
                         )
+                    elif self._bloom is not None and delta_n > 0:
+                        self._bloom = self._bloom.merge(
+                            seen_ops.ShardedBloom.build(
+                                out["seen"],
+                                expected_per_shard=self.bloom_capacity_per_shard,
+                            )
+                        )
+                for df in getattr(self, "_round_cache", []):
+                    df.unpersist()
+                if debug:
+                    print(
+                        f"[crawl r{r}] build={t_build:.2f}s parse={t_parse:.2f}s "
+                        f"write={t_write:.2f}s "
+                        f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
                     )
-            for df in getattr(self, "_round_cache", []):
-                df.unpersist()
-            if debug:
-                print(
-                    f"[crawl r{r}] build={t_build:.2f}s parse={t_parse:.2f}s "
-                    f"write={t_write:.2f}s "
-                    f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
-                )
-            if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
-                break
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(default_shuffle))
+                if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
+                    break
+        finally:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self._default_shuffle)
+            )
 
         def table(name: str) -> DataFrame:
-            return _union_all(deltas[name]) if deltas[name] else self._empty(DELTA_DDL[name])
+            """One multi-path parquet read per table over all completed
+            rounds' tbl= shards (plan depth constant in rounds; a table with
+            no rows in any round has no shards → typed empty frame)."""
+            dirs = [
+                os.path.join(base, f"round={rid:05d}", "deltas", f"tbl={name}")
+                for rid in written_rounds
+            ]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            if not dirs:
+                return self._empty(DELTA_DDL[name])
+            colmap = _mux_layout()[1][name]
+            schema = StructType.fromDDL(DELTA_DDL[name])
+            return spark.read.parquet(*dirs).select(*[
+                F.col(colmap[f.name]).alias(f.name) for f in schema.fields
+            ])
 
         return CrawlResult(
             content=table("content"),
@@ -1251,8 +1273,3 @@ class CrawlEngine:
             shutil.rmtree(self._scratch)
 
 
-def _union_all(dfs: list[DataFrame]) -> DataFrame:
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out

@@ -835,13 +835,23 @@ def q_extract_kernel(spark, sf):  # E1 — byte-identical text kernel over synth
     return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
 
 
+def _detach_scratch(df, eng):
+    """Materialize a crawl-result table off the engine's /tmp scratch dir
+    (eager localCheckpoint — these slices are small) so the scratch tree can
+    be deleted before returning; without this every bench rep / oracle run
+    left a crawl_state_* tree behind."""
+    out = df.localCheckpoint(eager=True)
+    eng.clear_scratch()
+    return out
+
+
 def q_crawl_slice(spark, sf):  # §3.2 minimum slice — 2-round detail crawl
     from mediacrawler_spark import synth
     from mediacrawler_spark.plans.crawl import CrawlEngine
     pages = synth.build_pages(spark, sf)
     eng = CrawlEngine(spark, pages, synth.build_robots(spark), use_bloom=False)
     res = eng.run(synth.build_seeds(spark, sf), max_rounds=2)
-    return res.content
+    return _detach_scratch(res.content, eng)
 
 
 def q_zhihu_contents(spark, sf):  # S12/E3 — zhihu per-type dispatch + extractors
@@ -880,7 +890,7 @@ def q_crawl_tieba_slice(spark, sf):  # S6/S10 in-loop — tieba HTML crawl → T
     pages = synth.build_pages(spark, None, documents=docs)
     eng = CrawlEngine(spark, pages, synth.build_robots(spark), use_bloom=False)
     res = eng.run(synth.build_seeds(spark, None, documents=docs), max_rounds=4)
-    return res.tieba_notes
+    return _detach_scratch(res.tieba_notes, eng)
 
 
 def q_crawl_creator_graph(spark, sf):  # S14–S16/J4–J5 — creator posts + edges
@@ -895,7 +905,7 @@ def q_crawl_creator_graph(spark, sf):  # S14–S16/J4–J5 — creator posts + e
         crawl_contacts=True, max_contacts=12, max_dynamics=15,
     )
     res = eng.run(synth.build_seeds(spark, None, documents=docs), max_rounds=6)
-    return res.contacts
+    return _detach_scratch(res.contacts, eng)
 
 
 def q_crawl_search_slice(spark, sf):  # §3.1 flagship — search → notes → creators
@@ -910,7 +920,7 @@ def q_crawl_search_slice(spark, sf):  # §3.1 flagship — search → notes → 
         max_comments_per_note=10,
     )
     res = eng.run(synth.build_search_seeds(spark, ["kw0", "kw2"]), max_rounds=4)
-    return res.content
+    return _detach_scratch(res.content, eng)
 
 
 # ---------------------------------------------------------------------------

@@ -899,9 +899,15 @@ def build_pages(
 
 
 def build_seeds(
-    spark: SparkSession, sf_dir: str, documents: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, documents: DataFrame | None = None,
+    include_malformed: bool = True,
 ) -> DataFrame:
-    """Seed list: every 3rd content URL + a few unknown URLs (miss path)."""
+    """Seed list: every 3rd content URL + a few unknown URLs (miss path).
+
+    ``include_malformed`` adds one scheme-less seed whose retry/backoff
+    chain (fails at rounds 0, 2, 6 under MAX_ATTEMPTS=3) pins small crawls
+    to ~7 rounds minimum — wanted in tests (null-host scheduling coverage),
+    excluded from throughput benchmarks (bench.py passes False)."""
     if documents is None:
         documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     b = _base(documents).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
@@ -915,15 +921,19 @@ def build_seeds(
         F.lit(0).alias("priority"),
         F.lit(None).cast("string").alias("keyword"),
     )
-    # one malformed seed (no scheme → parse_url host is NULL): exercises the
-    # scheduler's null-safe budget key — such rows must still schedule,
-    # miss the fetch-join and land in `failed`, never stall 'open' forever
-    malformed = spark.range(1).select(
-        F.lit("not-a-url").alias("url"),
-        F.lit(0).alias("priority"),
-        F.lit(None).cast("string").alias("keyword"),
-    )
-    return seeds.unionByName(unknown).unionByName(malformed)
+    seeds = seeds.unionByName(unknown)
+    if include_malformed:
+        # one malformed seed (no scheme → parse_url host is NULL): exercises
+        # the scheduler's null-safe budget key — such rows must still
+        # schedule, miss the fetch-join and land in `failed`, never stall
+        # 'open' forever
+        malformed = spark.range(1).select(
+            F.lit("not-a-url").alias("url"),
+            F.lit(0).alias("priority"),
+            F.lit(None).cast("string").alias("keyword"),
+        )
+        seeds = seeds.unionByName(malformed)
+    return seeds
 
 
 def build_search_seeds(spark: SparkSession, keywords: list[str] | None = None) -> DataFrame:
