@@ -223,18 +223,24 @@ def minhash_near_dups(
     band_size: int = 2,
     shingle_n: int = 3,
     max_band_bucket: int | None = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
 
     Uses the hashed verify kernel (int64 shingles, candidate-doc semi-join)
     — the 100 TB shape; round-1 bench showed the string verify join was the
-    single most expensive query at sf0.1."""
+    single most expensive query at sf0.1.
+
+    ``hash_fn`` picks the LSH candidate hash only (the verify kernel's
+    internal xxhash64 shingle hashing never changes the Jaccard VALUE —
+    Jaccard over distinct hashed shingles equals Jaccard over the shingles):
+    "xxhash64" (JVM-native, the scale default) or "md5" (the SQL-oracle-
+    reproducible twin — DuckDB can regenerate the exact candidate set)."""
     # the candidate-pair list is read three times by the hashed verify
     # (doc_a ∪ doc_b prefilter + the pair join itself) — cache it so the
-    # LSH pipeline runs once; xxhash64 signatures (JVM-native) — the md5
-    # variant exists only for the oracle-paired `minhash_sigs` entry
+    # LSH pipeline runs once
     pairs = lsh_candidate_pairs(
-        documents, n_hashes, band_size, shingle_n, max_band_bucket, hash_fn="xxhash64"
+        documents, n_hashes, band_size, shingle_n, max_band_bucket, hash_fn=hash_fn
     ).persist()
     return jaccard_verify_hashed(documents, pairs, shingle_n).filter(
         F.col("jaccard") >= threshold

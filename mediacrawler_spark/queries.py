@@ -816,8 +816,51 @@ FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.do
 """
 
 
-def q_minhash_near_dups(spark, sf):  # full LSH near-dup pipeline
+def q_minhash_near_dups_xx(spark, sf):  # full LSH near-dup pipeline, scale path
+    # xxhash64 band keys (JVM-native) — not reproducible in DuckDB, so this
+    # variant stays rows-only; the md5 twin below is the oracle-paired one.
     return dedup.minhash_near_dups(_t(spark, sf, "documents"), threshold=0.8)
+
+
+def q_minhash_near_dups(spark, sf):  # full LSH near-dup pipeline (md5 twin)
+    # md5 band keys so DuckDB regenerates the exact candidate set; the
+    # verify kernel is the same hashed-jaccard one as the scale path (the
+    # Jaccard VALUE is hash-independent over distinct shingles).
+    return dedup.minhash_near_dups(
+        _t(spark, sf, "documents"), threshold=0.8, hash_fn="md5"
+    )
+
+
+# SQL_LSH_PAIRS's candidate CTEs + exact Jaccard over the (distinct) string
+# shingles, filtered at the same rounded threshold the engine applies.
+SQL_MINHASH_NEAR_DUPS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM base
+), sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS mh{i}" for i in range(8))}
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '#' || mh{2 * b + 1}) AS key FROM sigs" for b in range(4))}
+), ok AS (
+  SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 64
+), kept AS (
+  SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN ok USING (band, key)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+), j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+               THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(a.shingles || b.shingles))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
 
 
 def q_multimodal_features(spark, sf):  # multimodal binary plumbing (synth pages input)
@@ -960,9 +1003,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "simhash_sigs_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
-    "minhash_near_dups": (q_minhash_near_dups, None),
+    "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),
     "multimodal_features": (q_multimodal_features, None),
     "extract_kernel": (q_extract_kernel, None),
     "crawl_slice": (q_crawl_slice, None),
