@@ -476,71 +476,138 @@ def _parse_cols(comment_order: str = "default") -> list:
     )
 
     # --- comment cursor branch (J2/J3; O2 order mode) ---
-    # Per-platform envelopes + cursor protocols (reference loops cited at
-    # initial_comment_cursor_col). Sub-comment pages keep the xhs envelope
-    # on every non-tieba platform (the J2 item is the top-level protocol;
-    # per-platform sub protocols are a documented simplification).
-    _CMT = "array<struct<id:string,content:string,create_time:long,sub_comment_count:int>>"
-    xhs_cp = F.from_json(html_str, f"has_more boolean, cursor string, comments {_CMT}")
-    dy_cp = F.from_json(html_str, f"has_more int, cursor long, comments {_CMT}")
-    wb_cp = F.from_json(html_str, f"max_id long, data {_CMT}")
-    ks_cp = F.from_json(
-        html_str, f"visionCommentList struct<pcursor:string, rootComments:{_CMT}>"
+    # Per-platform envelopes + cursor protocols for BOTH levels. Top-level
+    # walks: see initial_comment_cursor_col. Sub-walks (J3): xhs keeps the
+    # top envelope, first page addressed by the parent's sub_comment_cursor
+    # (xhs/client.py:385-407); douyin keeps the top envelope, cursor from 0
+    # (douyin/client.py:259-271); kuaishou switches to visionSubCommentList
+    # ending at pcursor=="no_more" (kuaishou/client.py:249-264); bilibili
+    # pages by NUMBER with a client-side page.count <= pn*ps stop
+    # (bilibili/client.py:306-337); zhihu keeps the top offset protocol
+    # (zhihu/client.py:304-350); weibo has no sub fetch — subs ride inline
+    # on the parent objects (weibo/client.py:205-210). Each platform's
+    # parent item carries ITS reference trigger field, normalized here to
+    # (sub_more, sub_cursor0) on the generic struct for the seed fan-out.
+    _ITEM = "id:string,content:string,create_time:long,sub_comment_count:int"
+    _CMT = f"array<struct<{_ITEM}>>"
+    _SUBS = "array<struct<id:string,content:string,create_time:long>>"
+    xhs_cp = F.from_json(html_str, (
+        f"has_more boolean, cursor string, comments array<struct<{_ITEM},"
+        "sub_comment_has_more:boolean,sub_comment_cursor:string>>"
+    ))
+    dy_cp = F.from_json(html_str, (
+        f"has_more int, cursor long, comments array<struct<{_ITEM},"
+        "reply_comment_total:int>>"
+    ))
+    wb_cp = F.from_json(html_str, f"max_id long, data array<struct<{_ITEM},comments:{_SUBS}>>")
+    ks_cp = F.from_json(html_str, (
+        f"visionCommentList struct<pcursor:string, rootComments:array<struct<{_ITEM},"
+        "subCommentsPcursor:string>>>"
+    ))
+    ks_sub = F.from_json(
+        html_str, f"visionSubCommentList struct<pcursor:string, subComments:{_CMT}>"
     )
-    bl_cp = F.from_json(html_str, f"cursor struct<next:long,is_end:boolean>, replies {_CMT}")
+    bl_cp = F.from_json(html_str, (
+        f"cursor struct<next:long,is_end:boolean>, replies array<struct<{_ITEM},rcount:int>>"
+    ))
+    bl_sub = F.from_json(html_str, f"replies {_CMT}, page struct<count:int>")
+    bl_pn = F.regexp_extract(url, r"[?&]pn=(\d+)", 1).try_cast("int")
     zh_cp = F.from_json(html_str, Z.ZHIHU_COMMENT_PAGE_DDL)
     # P5 type filter (zhihu/help.py:227-228) before the generic mapping;
     # the full comment structs ride along in `zcm` for the
     # zhihu_comments output table.
     zh_data = F.filter(zh_cp["data"], lambda c: c["type"] == "comment")
-    zh_generic = F.transform(zh_data, lambda c: F.struct(
-        c["id"].alias("id"),
-        c["content"].alias("content"),
-        c["created_time"].alias("create_time"),
-        c["child_comment_count"].alias("sub_comment_count"),
-    ))
-    tb_cm_generic = F.transform(tpage["comments"], lambda c: F.struct(
-        c["comment_id"].alias("id"),
-        c["content"].alias("content"),
-        F.lit(None).cast("long").alias("create_time"),
-        c["sub_comment_count"].alias("sub_comment_count"),
-    ))
-    tb_sub_generic = F.transform(tsubs, lambda s: F.struct(
-        s["comment_id"].alias("id"),
-        s["content"].alias("content"),
-        F.lit(None).cast("long").alias("create_time"),
-        F.lit(0).alias("sub_comment_count"),
-    ))
+
+    no_subs = F.lit(None).cast(_SUBS)
+    no_cursor = F.lit(None).cast("string")
+
+    def _gitem(c, sub_more, sub_cursor0, subs=None):
+        """Generic comment struct + normalized sub-walk trigger."""
+        return F.struct(
+            c["id"].alias("id"),
+            c["content"].alias("content"),
+            c["create_time"].alias("create_time"),
+            c["sub_comment_count"].alias("sub_comment_count"),
+            sub_more.alias("sub_more"),
+            sub_cursor0.cast("string").alias("sub_cursor0"),
+            (subs if subs is not None else no_subs).alias("subs"),
+        )
+
+    false_ = F.lit(False)
+    # one transform per platform serves top AND sub pages: sub items lack
+    # the trigger fields → null-coalesced to sub_more=false
+    xhs_items = F.transform(xhs_cp["comments"], lambda c: _gitem(
+        c, F.coalesce(c["sub_comment_has_more"], false_),
+        F.coalesce(c["sub_comment_cursor"], F.lit(""))))
+    dy_items = F.transform(dy_cp["comments"], lambda c: _gitem(
+        c, F.coalesce(c["reply_comment_total"], F.lit(0)) > 0, F.lit("0")))
+    wb_items = F.transform(wb_cp["data"], lambda c: _gitem(
+        c, false_, no_cursor, subs=c["comments"]))
+    ks_top = F.transform(ks_cp["visionCommentList"]["rootComments"], lambda c: _gitem(
+        c, F.coalesce(c["subCommentsPcursor"], F.lit("no_more")) != "no_more",
+        F.lit("")))  # the reference RESETS the walk cursor to "" (client.py:250)
+    ks_subi = F.transform(ks_sub["visionSubCommentList"]["subComments"],
+                          lambda c: _gitem(c, false_, no_cursor))
+    bl_top = F.transform(bl_cp["replies"], lambda c: _gitem(
+        c, F.coalesce(c["rcount"], F.lit(0)) > 0, F.lit("1")))  # pn=1
+    bl_subi = F.transform(bl_sub["replies"], lambda c: _gitem(c, false_, no_cursor))
+    zh_generic = F.transform(zh_data, lambda c: _gitem(
+        F.struct(
+            c["id"].alias("id"), c["content"].alias("content"),
+            c["created_time"].alias("create_time"),
+            c["child_comment_count"].alias("sub_comment_count"),
+        ),
+        F.coalesce(c["child_comment_count"], F.lit(0)) > 0, F.lit("")))
+    tb_cm_generic = F.transform(tpage["comments"], lambda c: _gitem(
+        F.struct(
+            c["comment_id"].alias("id"), c["content"].alias("content"),
+            F.lit(None).cast("long").alias("create_time"),
+            c["sub_comment_count"].alias("sub_comment_count"),
+        ),
+        false_, no_cursor))  # tieba sub panes are seeded by their own branch
+    tb_sub_generic = F.transform(tsubs, lambda s: _gitem(
+        F.struct(
+            s["comment_id"].alias("id"), s["content"].alias("content"),
+            F.lit(None).cast("long").alias("create_time"),
+            F.lit(0).alias("sub_comment_count"),
+        ),
+        false_, no_cursor))
     cm_has_more = (
         F.when(is_tieba, F.lit(False))  # tieba pn pages are pre-seeded from total_replay_page
-        .when(is_subc, xhs_cp["has_more"])
         .when(plat == "douyin", dy_cp["has_more"] == 1)
         .when(plat == "weibo", wb_cp["max_id"] != 0)
-        .when(plat == "kuaishou", ks_cp["visionCommentList"]["pcursor"] != "no_more")
-        .when(plat == "bilibili", ~bl_cp["cursor"]["is_end"])
+        .when(plat == "kuaishou",
+              F.when(is_subc, ks_sub["visionSubCommentList"]["pcursor"] != "no_more")
+              .otherwise(ks_cp["visionCommentList"]["pcursor"] != "no_more"))
+        .when(plat == "bilibili",
+              # client-side stop rule: more pages while count > pn*ps
+              F.when(is_subc, bl_sub["page"]["count"] > bl_pn * 10)
+              .otherwise(~bl_cp["cursor"]["is_end"]))
         .when(plat == "zhihu", ~zh_cp["paging"]["is_end"])
         .otherwise(xhs_cp["has_more"])
     )
     cm_next_cursor = (
         F.when(is_tieba, F.lit(None).cast("string"))
-        .when(is_subc, xhs_cp["cursor"])
         .when(plat == "douyin", dy_cp["cursor"].cast("string"))
         .when(plat == "weibo", wb_cp["max_id"].cast("string"))
-        .when(plat == "kuaishou", ks_cp["visionCommentList"]["pcursor"])
-        .when(plat == "bilibili", bl_cp["cursor"]["next"].cast("string"))
+        .when(plat == "kuaishou",
+              F.when(is_subc, ks_sub["visionSubCommentList"]["pcursor"])
+              .otherwise(ks_cp["visionCommentList"]["pcursor"]))
+        .when(plat == "bilibili",
+              F.when(is_subc, (bl_pn + 1).cast("string"))
+              .otherwise(bl_cp["cursor"]["next"].cast("string")))
         .when(plat == "zhihu",
               F.regexp_extract(zh_cp["paging"]["next"], r"[?&]offset=([^&]+)", 1))
         .otherwise(xhs_cp["cursor"])
     )
     cm_arr = (
         F.when(is_tieba, F.when(is_subc, tb_sub_generic).otherwise(tb_cm_generic))
-        .when(is_subc, xhs_cp["comments"])
-        .when(plat == "douyin", dy_cp["comments"])
-        .when(plat == "weibo", wb_cp["data"])
-        .when(plat == "kuaishou", ks_cp["visionCommentList"]["rootComments"])
-        .when(plat == "bilibili", bl_cp["replies"])
+        .when(plat == "douyin", dy_items)
+        .when(plat == "weibo", wb_items)
+        .when(plat == "kuaishou", F.when(is_subc, ks_subi).otherwise(ks_top))
+        .when(plat == "bilibili", F.when(is_subc, bl_subi).otherwise(bl_top))
         .when(plat == "zhihu", zh_generic)
-        .otherwise(xhs_cp["comments"])
+        .otherwise(xhs_items)
     )
     # O2 re-rank skips tieba (no numeric create_time on the HTML surface)
     cm_arr = F.when(is_tieba, cm_arr).otherwise(_comment_order_arr(cm_arr, comment_order))
@@ -662,7 +729,9 @@ def _parse_cols(comment_order: str = "default") -> list:
         # full-fidelity side channels for the tieba_notes / zhihu_comments
         # output tables
         F.when(is_tieba & is_content, tpage["note"]).alias("tnote"),
-        F.when(is_comments & (plat == "zhihu"), zh_data).alias("zcm"),
+        # zhihu child pages carry FULL comment objects too (the reference
+        # extracts them with the same extractor, zhihu/client.py:334-343)
+        F.when((is_comments | is_subc) & (plat == "zhihu"), zh_data).alias("zcm"),
     ]
     return cols
 

@@ -293,6 +293,9 @@ def _round_cols() -> dict:
             c("cm.content").alias("content"),
             c("cm.create_time").alias("create_time"),
             c("cm.sub_comment_count").alias("sub_comment_count"),
+            # weibo inline second-level comments (weibo/client.py:205-210:
+            # subs ride ON the parent objects; weibo never fetches sub pages)
+            c("cm.subs").alias("subs"),
         ],
         "comments": [
             c("comment_id"),
@@ -304,7 +307,8 @@ def _round_cols() -> dict:
             # NULL-guarded input: non-zhihu rows ship Arrow nulls only.
             F.coalesce(
                 extract_text_udf(
-                    F.when((c("platform") == "zhihu") & (c("kind") == "comments"),
+                    F.when((c("platform") == "zhihu")
+                           & c("kind").isin("comments", "subcomments"),
                            c("content"))
                 ),
                 c("content"),
@@ -415,6 +419,7 @@ class CrawlEngine:
         global_limit: int | None = None,
         broadcast_threshold: int = 3_000_000,
         fetch_join: str = "auto",  # auto | broadcast | colocated
+        state_codec: str | None = None,  # intra-round mux parquet codec
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -459,6 +464,13 @@ class CrawlEngine:
         #   join (colocated when the table is bucketed).
         self.fetch_join = fetch_join
         self.broadcast_threshold = broadcast_threshold
+        # Round-state codec, decoupled from the session default (zstd, kept
+        # for FINAL outputs where bytes-at-rest matter): intra-round state
+        # is written once and read 1-2 times, so cheap-encode codecs win
+        # when the write phase binds on the shared memory/storage stack.
+        self.state_codec = state_codec or os.environ.get(
+            "SPARK_GRAFT_STATE_CODEC", "zstd"
+        )
         # per-process plan caches (driver fixed-cost discipline)
         self._seed_arr = None
         self._mux_read_cache: dict[int, DataFrame | None] = {}
@@ -503,7 +515,17 @@ class CrawlEngine:
     def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", "deltas")
-        parts = [tables[name].select(*_mux_selects(name)) for name in _MUX_ORDER]
+        # Statically-empty branches (gate-disabled features hand _round's
+        # cached _empty frame through unchanged — identity test) are pruned
+        # from the union: a crawl without contacts/dynamics otherwise scans
+        # and unions typed empty frames into every round's write. Read-back
+        # reconstructs a missing tbl= subdir as the typed empty frame.
+        empty_ids = {id(df) for df in self._empty_cache.values()}
+        parts = [
+            tables[name].select(*_mux_selects(name))
+            for name in _MUX_ORDER
+            if id(tables[name]) not in empty_ids
+        ]
         # identical column layout by construction → positional union (no
         # per-branch name resolution; one analysis at the write action)
         mux = reduce(DataFrame.union, parts)
@@ -514,7 +536,12 @@ class CrawlEngine:
         # shuffle width for big rounds, tiny rounds collapse to 4 tasks.
         n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         mux = mux.coalesce(4 if getattr(self, "_small_round", False) else max(n_shuffle, 8))
-        mux.write.mode("overwrite").partitionBy("tbl").parquet(path)
+        (
+            mux.write.mode("overwrite")
+            .option("compression", self.state_codec)
+            .partitionBy("tbl")
+            .parquet(path)
+        )
         self._mux_read_cache.pop(round_id, None)  # resume overwrote a crashed round
         return {name: self._read_delta(round_id, name) for name in _MUX_ORDER}
 
@@ -603,7 +630,15 @@ class CrawlEngine:
                     https, host,
                     F.when(kind == "comments", F.lit("/api/comments/"))
                     .otherwise(F.lit("/api/subcomments/")),
-                    c("cpage.target_id"), F.lit("?cursor="), c("cpage.next_cursor"),
+                    c("cpage.target_id"),
+                    # bilibili level-two pages paginate by NUMBER
+                    # (bilibili/client.py:326-337); every other walk is a
+                    # cursor/offset token
+                    F.when(
+                        (kind == "subcomments") & (c("platform") == "bilibili"),
+                        F.lit("?pn="),
+                    ).otherwise(F.lit("?cursor=")),
+                    c("cpage.next_cursor"),
                 ),
                 host, priority, depth, keyword, page,
                 item_idx, cursor_seq + 1, c("cpage.next_cursor"),
@@ -611,16 +646,27 @@ class CrawlEngine:
         ))
 
         if self.enable_sub_comments:
-            # generic /api/subcomments walk for comments with sub-threads;
-            # i = the comment's position on its page (W4 / W1 position math)
+            # per-platform sub-walk page 0 (J3): the parent item's own
+            # trigger field and initial cursor, normalized at parse time to
+            # (sub_more, sub_cursor0) — xhs sub_comment_has_more/_cursor,
+            # dy reply_comment_total→"0", ks subCommentsPcursor→"", bili
+            # rcount→pn=1, zhihu child_comment_count→""; weibo never (subs
+            # are inline). i = the comment's position on its page (W4/W1).
             def _sub_one(cm, i):
-                gate = cm["sub_comment_count"] > 0
+                gate = cm["sub_more"]
                 if mc is not None:
                     gate = gate & (cursor_seq * ps + i < mc)
-                return F.when(gate, _sstruct(
+                sub_url = F.when(
+                    c("platform") == "bilibili",
                     F.concat(https, host, F.lit("/api/subcomments/"),
-                             cm["id"], F.lit("?cursor=0")),
-                    host, priority, depth + 1, keyword, page, i, F.lit(0), F.lit("0"),
+                             cm["id"], F.lit("?pn=1")),
+                ).otherwise(
+                    F.concat(https, host, F.lit("/api/subcomments/"), cm["id"],
+                             F.lit("?cursor="), F.coalesce(cm["sub_cursor0"], F.lit(""))),
+                )
+                return F.when(gate, _sstruct(
+                    sub_url, host, priority, depth + 1, keyword, page, i,
+                    F.lit(0), cm["sub_cursor0"],
                 ))
             pieces.append(_guard(
                 (kind == "comments") & (c("platform") != "tieba") & c("cpage").isNotNull(),
@@ -880,6 +926,33 @@ class CrawlEngine:
             comments = comments.filter(
                 F.col("parent_comment_id").isNotNull() | (pos < mc)
             )
+        # weibo inline second-level rows (weibo/client.py:205-210): subs
+        # ride on the parent objects of top-level pages — a trimmed parent
+        # (W1) drops its inline subs with it, like the reference's
+        # trim-before-callback order.
+        wb_inline = cx.filter(F.col("subs").isNotNull())
+        if self.max_comments_per_note is not None:
+            mc, ps = self.max_comments_per_note, self.comment_page_size
+            wb_inline = wb_inline.filter(
+                F.col("cursor_seq") * ps + F.col("item_idx") < mc
+            )
+        wb_inline = wb_inline.select(
+            F.col("note_id_pg"),
+            F.col("comment_id").alias("parent_id"),
+            F.col("cursor_seq"),
+            F.posexplode(F.col("subs")).alias("s_idx", "s"),
+        ).select(
+            F.col("s.id").alias("comment_id"),
+            F.col("note_id_pg").alias("note_id"),
+            F.col("parent_id").alias("parent_comment_id"),
+            F.col("s.content").alias("content"),
+            F.col("s.create_time").alias("create_time"),
+            F.lit(0).alias("sub_comment_count"),
+            F.col("cursor_seq").alias("ord_cursor_seq"),
+            F.col("s_idx").alias("ord_item_idx"),
+            rlit,
+        )
+        comments = comments.unionByName(wb_inline)
 
         # (comment/sub-comment/tieba-page/search/posts/contacts seed
         # emission now lives in _seed_array_col — one projection below)

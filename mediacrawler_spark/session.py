@@ -47,6 +47,14 @@ def build_session(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
+        # Commit algorithm v2: task-side renames into the destination —
+        # parallel and executor-scaling. v1's job-commit is a DRIVER-serial
+        # rename loop over every task's output (12-table mux × shuffle-width
+        # files per round), a constant cost at any executor count and thus a
+        # direct scaling-efficiency sink in the write phase. Safe here: the
+        # per-round _SUCCESS marker gates resume, and a crashed round is
+        # rewritten with mode=overwrite (partial v2 files deleted first).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

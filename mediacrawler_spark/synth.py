@@ -357,25 +357,77 @@ def build_tieba_sub_pages(documents: DataFrame) -> DataFrame:
     )
 
 
-def _comment_obj(note_id, cid_idx, create_base):
-    """JSON object for one comment; sub_comment_count>0 every 5th comment."""
+def _sub_obj(parent_id, j, create_base):
+    """JSON object for one second-level comment (generic shape)."""
+    return F.concat(
+        F.lit('{"id":"'), parent_id, F.lit("s"), j.cast("string"),
+        F.lit('","content":"sub '), j.cast("string"),
+        F.lit(" of "), parent_id,
+        F.lit('","create_time":'), (create_base + j * 100).cast("string"),
+        F.lit(',"sub_comment_count":0}'),
+    )
+
+
+def _comment_obj(note_id, cid_idx, create_base, plat=None):
+    """JSON object for one root comment; sub-threads every 5th comment.
+
+    Each platform's parent object carries ITS reference sub-walk trigger
+    field (J3): xhs ``sub_comment_has_more``/``sub_comment_cursor``
+    (client.py:385-394), douyin ``reply_comment_total`` (client.py:256),
+    kuaishou ``subCommentsPcursor`` (client.py:245-248), bilibili
+    ``rcount`` (client.py:294), weibo inline ``comments`` — no sub fetch
+    at all (weibo/client.py:205-210). zhihu objects are built separately
+    (``_zhihu_comment_obj``, trigger = ``child_comment_count``)."""
     cid = F.concat(note_id, F.lit("c"), cid_idx.cast("string"))
-    sub_n = F.when(F.pmod(cid_idx, F.lit(5)) == 0, F.lit(12)).otherwise(F.lit(0))
+    has_sub = F.pmod(cid_idx, F.lit(5)) == 0
+    sub_n = F.when(has_sub, F.lit(12)).otherwise(F.lit(0))
+    wb_subs = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(2)),
+                    lambda j: _sub_obj(cid, j, create_base)),
+        ",",
+    )
+    trigger = F.lit("") if plat is None else (
+        F.when(plat == "douyin",
+               F.concat(F.lit(',"reply_comment_total":'), sub_n.cast("string")))
+        .when(plat == "bilibili",
+              F.concat(F.lit(',"rcount":'), sub_n.cast("string")))
+        .when(plat == "kuaishou",
+              F.concat(F.lit(',"subCommentsPcursor":"'),
+                       F.when(has_sub, F.lit("")).otherwise(F.lit("no_more")),
+                       F.lit('"')))
+        .when(plat == "weibo",
+              F.when(has_sub, F.concat(F.lit(',"comments":['), wb_subs, F.lit("]")))
+              .otherwise(F.lit("")))
+        .otherwise(  # xhs
+            F.concat(F.lit(',"sub_comment_has_more":'),
+                     has_sub.cast("string"),
+                     F.lit(',"sub_comment_cursor":""')))
+    )
     return F.concat(
         F.lit('{"id":"'), cid,
         F.lit('","content":"回复 comment '), cid_idx.cast("string"),
         F.lit(' on '), note_id,
         F.lit('","create_time":'), (create_base + cid_idx * 1000).cast("string"),
-        F.lit(',"sub_comment_count":'), sub_n.cast("string"), F.lit("}"),
+        F.lit(',"sub_comment_count":'), sub_n.cast("string"),
+        trigger, F.lit("}"),
     )
 
 
-def _zhihu_comment_obj(note_id, i, create_base):
+def _zhihu_comment_obj(note_id, i, create_base, parent_id=None):
     """Full reference-shaped zhihu root comment (help.py:232-260 fields):
     HTML content (kernel has work), ip_info comment_tag, member-nested
-    author on odd indices, like/dislike counts."""
-    cid = F.concat(note_id, F.lit("c"), i.cast("string"))
-    sub_n = F.when(F.pmod(i, F.lit(5)) == 0, F.lit(12)).otherwise(F.lit(0))
+    author on odd indices, like/dislike counts. With ``parent_id`` the
+    object is a CHILD comment (reply_comment_id set, no grandchildren) —
+    the reference extracts child pages with the same extractor
+    (zhihu/client.py:334-343 → help.py extract_comments)."""
+    if parent_id is not None:
+        cid = F.concat(parent_id, F.lit("s"), i.cast("string"))
+        sub_n = F.lit(0)
+        reply = F.concat(F.lit(',"reply_comment_id":"'), parent_id, F.lit('"'))
+    else:
+        cid = F.concat(note_id, F.lit("c"), i.cast("string"))
+        sub_n = F.when(F.pmod(i, F.lit(5)) == 0, F.lit(12)).otherwise(F.lit(0))
+        reply = F.lit("")
     k = F.pmod(i, F.lit(101)).cast("string")
     author_plain = F.concat(
         F.lit('{"id":"zu'), k, F.lit('","name":"知友'), k,
@@ -387,8 +439,8 @@ def _zhihu_comment_obj(note_id, i, create_base):
         F.concat(F.lit('{"member":'), author_plain, F.lit("}")),
     ).otherwise(author_plain)
     return F.concat(
-        F.lit('{"type":"comment","id":"'), cid,
-        F.lit('","content":"<p>知乎回复 '), i.cast("string"),
+        F.lit('{"type":"comment","id":"'), cid, F.lit('"'), reply,
+        F.lit(',"content":"<p>知乎回复 '), i.cast("string"),
         F.lit(" on "), note_id, F.lit('</p>"'),
         F.lit(',"created_time":'), (create_base + i * 1000).cast("string"),
         F.lit(',"comment_tag":[{"type":"ip_info","text":"IP属地'),
@@ -428,7 +480,7 @@ def build_comment_pages(documents: DataFrame) -> DataFrame:
     count_on_page = F.least(F.lit(10), F.col("n_comments") - start)
     items = F.transform(
         F.sequence(start, start + count_on_page - 1),
-        lambda i: _comment_obj(F.col("note_id"), i, F.col("create_ms")),
+        lambda i: _comment_obj(F.col("note_id"), i, F.col("create_ms"), plat),
     )
     zitems = F.transform(
         F.sequence(start, start + count_on_page - 1),
@@ -497,13 +549,31 @@ def build_comment_pages(documents: DataFrame) -> DataFrame:
 
 
 def build_subcomment_pages(documents: DataFrame) -> DataFrame:
-    """Second-level thread pages: 12 subs → 2 cursor pages of ≤10 (J3).
+    """Second-level thread pages: 12 subs → 2 pages of ≤10, each with ITS
+    platform's reference sub-walk envelope + cursor protocol (J3):
 
-    xhs envelope on every non-tieba platform (J2 covers the top-level
-    protocols; per-platform sub protocols are a documented simplification —
-    tieba subs are real /p/comment HTML panes, build_tieba_sub_pages)."""
+    - xhs       {"has_more","cursor":<opaque last-sub id>,comments};
+                page 0 addressed by the PARENT's ``sub_comment_cursor``
+                ("" in this corpus — client.py:385-407)
+    - douyin    {"has_more":0/1,"cursor":<offset int>,comments};
+                page k addressed by cursor k*10 (client.py:262-267)
+    - kuaishou  {"visionSubCommentList":{"pcursor","subComments"}};
+                walk starts at "" and ends at "no_more" (client.py:249-264)
+    - bilibili  {"replies":[...],"page":{"count":N}} addressed by ?pn=k
+                (1-based); the CLIENT stops when count <= pn*ps
+                (client.py:306-337) — no server-side has_more at all
+    - zhihu     top-level envelope verbatim ({"paging","data"} with FULL
+                child-comment objects, reply_comment_id set) addressed by
+                offset tokens (client.py:304-350)
+    - weibo     none — weibo subs ride inline on the parent objects
+                (weibo/client.py:205-210)
+
+    A page's URL token IS the cursor string the reference client would
+    send, so frontier `cursor` values stay reference-identical. Tieba subs
+    are real /p/comment HTML panes (build_tieba_sub_pages)."""
+    plat = F.col("platform")
     b = _base(documents).filter(
-        (F.col("n_comments") > 0) & (F.col("platform") != "tieba")
+        (F.col("n_comments") > 0) & ~plat.isin("tieba", "weibo")
     )
     parents = b.select(
         "*",
@@ -515,27 +585,59 @@ def build_subcomment_pages(documents: DataFrame) -> DataFrame:
         ).alias("parent_idx"),
     ).withColumn("parent_id", F.concat(F.col("note_id"), F.lit("c"), F.col("parent_idx").cast("string")))
     pages = parents.select("*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("cursor_k"))
-    start = F.col("cursor_k") * 10
+    k = F.col("cursor_k")
+    start = k * 10
     count_on_page = F.least(F.lit(10), F.lit(12) - start)
-    items = F.transform(
-        F.sequence(start, start + count_on_page - 1),
-        lambda i: F.concat(
-            F.lit('{"id":"'), F.col("parent_id"), F.lit("s"), i.cast("string"),
-            F.lit('","content":"sub '), i.cast("string"),
-            F.lit(' of '), F.col("parent_id"),
-            F.lit('","create_time":'), (F.col("create_ms") + i * 100).cast("string"),
-            F.lit(',"sub_comment_count":0}'),
-        ),
+    seq = F.sequence(start, start + count_on_page - 1)
+    items = F.transform(seq, lambda i: _sub_obj(F.col("parent_id"), i, F.col("create_ms")))
+    zitems = F.transform(
+        seq, lambda i: _zhihu_comment_obj(F.col("note_id"), i, F.col("create_ms"),
+                                          parent_id=F.col("parent_id")),
     )
-    body = F.concat(
-        F.lit('{"has_more":'), (F.col("cursor_k") < 1).cast("string"),
-        F.lit(',"cursor":"'), (F.col("cursor_k") + 1).cast("string"),
-        F.lit('","comments":['), F.array_join(items, ","), F.lit("]}"),
+    has_more = k < 1
+    ilist = F.array_join(items, ",")
+    body = (
+        F.when(plat == "douyin", F.concat(
+            F.lit('{"has_more":'), has_more.cast("int").cast("string"),
+            F.lit(',"cursor":'), ((k + 1) * 10).cast("string"),
+            F.lit(',"comments":['), ilist, F.lit("]}")))
+        .when(plat == "kuaishou", F.concat(
+            F.lit('{"visionSubCommentList":{"pcursor":"'),
+            F.when(has_more, F.concat(F.lit("sp"), (k + 1).cast("string")))
+            .otherwise(F.lit("no_more")),
+            F.lit('","subComments":['), ilist, F.lit("]}}")))
+        .when(plat == "bilibili", F.concat(
+            F.lit('{"replies":['), ilist,
+            F.lit('],"page":{"count":12}}')))
+        .when(plat == "zhihu", F.concat(
+            F.lit('{"paging":{"is_end":'), (~has_more).cast("string"),
+            F.lit(',"next":"https://www.zhihu.com/api/v4/comment_v5/comments/'),
+            F.col("parent_id"), F.lit("/child_comment?limit=10&offset="),
+            ((k + 1) * 10).cast("string"), F.lit('_0_0&order_by=ts"},"data":['),
+            F.array_join(zitems, ","), F.lit("]}")))
+        .otherwise(F.concat(  # xhs: opaque cursor = id of the page's last sub
+            F.lit('{"has_more":'), has_more.cast("string"),
+            F.lit(',"cursor":"'), F.col("parent_id"), F.lit("s"),
+            ((k + 1) * 10 - 1).cast("string"),
+            F.lit('","comments":['), ilist, F.lit("]}")))
     )
-    url = F.concat(
+    # URL token = the cursor string the reference sub-walk sends for page k
+    addr = (
+        F.when(plat == "douyin", (k * 10).cast("string"))
+        .when(plat == "kuaishou",
+              F.when(k == 0, F.lit("")).otherwise(F.concat(F.lit("sp"), k.cast("string"))))
+        .when(plat == "zhihu",
+              F.when(k == 0, F.lit("")).otherwise(F.concat((k * 10).cast("string"), F.lit("_0_0"))))
+        .otherwise(F.when(k == 0, F.lit("")).otherwise(  # xhs
+            F.concat(F.col("parent_id"), F.lit("s"), (k * 10 - 1).cast("string"))))
+    )
+    url = F.when(plat == "bilibili", F.concat(
         F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
-        F.col("parent_id"), F.lit("?cursor="), F.col("cursor_k").cast("string"),
-    )
+        F.col("parent_id"), F.lit("?pn="), (k + 1).cast("string"),
+    )).otherwise(F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/api/subcomments/"),
+        F.col("parent_id"), F.lit("?cursor="), addr,
+    ))
     return pages.select(
         url.alias("url"),
         "warc_ts",

@@ -88,36 +88,71 @@ def initial_comment_cursor(platform: str) -> str:
     return ""
 
 
-def parse_comment_page(platform: str, kind: str, doc: dict):
-    """Per-platform comment envelope + cursor protocol (J2) — the engine's
-    _parse_cols comment branch twin. Returns (has_more, next_cursor,
-    generic_comments). Sub pages keep the xhs envelope on every platform."""
-    if kind != "subcomments":
-        if platform == "douyin":
-            return doc["has_more"] == 1, str(doc["cursor"]), doc["comments"]
-        if platform == "weibo":
-            return doc["max_id"] != 0, str(doc["max_id"]), doc["data"]
-        if platform == "kuaishou":
-            v = doc["visionCommentList"]
-            return v["pcursor"] != "no_more", v["pcursor"], v["rootComments"]
-        if platform == "bilibili":
-            cur = doc["cursor"]
-            return (not cur["is_end"]), str(cur["next"]), doc["replies"]
-        if platform == "zhihu":
-            p = doc["paging"]
-            m = re.search(r"[?&]offset=([^&]+)", p.get("next") or "")
-            items = [c for c in doc["data"] if c.get("type") == "comment"]  # P5
-            mapped = [
-                {
-                    "id": c["id"],
-                    "content": extract_text_py(c.get("content") or ""),  # kernel
-                    "create_time": c["created_time"],
-                    "sub_comment_count": c["child_comment_count"],
-                }
-                for c in items
-            ]
-            return (not p["is_end"]), (m.group(1) if m else ""), mapped
-    return doc["has_more"], doc["cursor"], doc["comments"]
+def parse_comment_page(platform: str, kind: str, doc: dict, url: str = ""):
+    """Per-platform comment envelope + cursor protocol, BOTH levels (J2/J3)
+    — the engine's _parse_cols comment branch twin. Returns (has_more,
+    next_cursor, generic_comments); top-level items are annotated with the
+    normalized sub-walk trigger (sub_more, sub_cursor0) read from each
+    platform's own trigger field, exactly like the engine's _gitem."""
+
+    def ann(items, trig):
+        out = []
+        for c in items:
+            d = dict(c)
+            d["sub_more"], d["sub_cursor0"] = trig(c)
+            out.append(d)
+        return out
+
+    if platform == "douyin":  # same envelope both levels (client.py:259-271)
+        items = doc["comments"]
+        if kind == "comments":
+            items = ann(items, lambda c: ((c.get("reply_comment_total") or 0) > 0, "0"))
+        return doc["has_more"] == 1, str(doc["cursor"]), items
+    if platform == "weibo":  # subs inline on parents; no sub fetch
+        return doc["max_id"] != 0, str(doc["max_id"]), ann(
+            doc["data"], lambda c: (False, None)
+        )
+    if platform == "kuaishou":  # sub walk: visionSubCommentList, "" start
+        if kind == "subcomments":
+            v = doc["visionSubCommentList"]
+            return v["pcursor"] != "no_more", v["pcursor"], v["subComments"]
+        v = doc["visionCommentList"]
+        # the reference skips only a LITERAL "no_more" (client.py:245-248);
+        # "" (this corpus's live trigger) walks, starting at cursor ""
+        items = ann(v["rootComments"], lambda c: (
+            (c["subCommentsPcursor"] if c.get("subCommentsPcursor") is not None
+             else "no_more") != "no_more", ""))
+        return v["pcursor"] != "no_more", v["pcursor"], items
+    if platform == "bilibili":  # sub walk: ?pn pages, count <= pn*ps stop
+        if kind == "subcomments":
+            pn = int(re.search(r"[?&]pn=(\d+)", url).group(1))
+            return doc["page"]["count"] > pn * 10, str(pn + 1), doc["replies"]
+        cur = doc["cursor"]
+        items = ann(doc["replies"], lambda c: ((c.get("rcount") or 0) > 0, "1"))
+        return (not cur["is_end"]), str(cur["next"]), items
+    if platform == "zhihu":  # same offset protocol both levels
+        p = doc["paging"]
+        m = re.search(r"[?&]offset=([^&]+)", p.get("next") or "")
+        items = [c for c in doc["data"] if c.get("type") == "comment"]  # P5
+        mapped = [
+            {
+                "id": c["id"],
+                "content": extract_text_py(c.get("content") or ""),  # kernel
+                "create_time": c["created_time"],
+                "sub_comment_count": c["child_comment_count"],
+                "sub_more": (c["child_comment_count"] or 0) > 0,
+                "sub_cursor0": "",
+            }
+            for c in items
+        ]
+        return (not p["is_end"]), (m.group(1) if m else ""), mapped
+    # xhs: same envelope both levels; parents carry their own trigger +
+    # initial cursor (client.py:385-407)
+    items = doc["comments"]
+    if kind == "comments":
+        items = ann(items, lambda c: (
+            bool(c.get("sub_comment_has_more")), c.get("sub_comment_cursor") or ""))
+    return doc["has_more"], doc["cursor"], items
 
 
 def search_cursor(platform: str, page: int, session_id: str | None) -> str:
@@ -410,14 +445,20 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                 doc = json.loads(body)
                 target = f["url"].split("/")[-1].split("?")[0]
                 mc, ps = max_comments_per_note, comment_page_size
-                has_more, next_cursor, items = parse_comment_page(platform, kind, doc)
-                if kind == "comments" and platform == "zhihu":
+                has_more, next_cursor, items = parse_comment_page(
+                    platform, kind, doc, f["url"]
+                )
+                if platform == "zhihu" and kind in ("comments", "subcomments"):
                     # E3 comments: full ZhihuComment surface (untrimmed —
-                    # the fidelity table mirrors the extractor per page)
+                    # the fidelity table mirrors the extractor per page);
+                    # child pages go through the same extractor
+                    # (zhihu/client.py:334-343)
                     raw = [c for c in doc["data"] if c.get("type") == "comment"]
+                    zc_cid = (target if kind == "comments"
+                              else re.match(r"^(.*?)c\d+$", target).group(1))
                     from mediacrawler_spark.operators.zhihu import extract_comment_py
                     for idx, c in enumerate(raw):
-                        z = extract_comment_py(c, target, None)
+                        z = extract_comment_py(c, zc_cid, None)
                         res.zhihu_comments.add((
                             z["comment_id"], z["parent_comment_id"], z["content"],
                             z["publish_time"], z["ip_location"], z["sub_comment_count"],
@@ -434,18 +475,30 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                     if kind == "comments" and mc is not None and pos >= mc:
                         continue  # W1 budget trim (xhs/client.py:355-356)
                     res.comments.add((c["id"], note, parent, f["cursor_seq"], idx))
-                    if enable_sub and kind == "comments" and c["sub_comment_count"] > 0:
+                    if platform == "weibo" and kind == "comments":
+                        # inline second-level rows (weibo/client.py:205-210)
+                        for j, s in enumerate(c.get("comments") or []):
+                            res.comments.add((s["id"], note, c["id"], f["cursor_seq"], j))
+                    if enable_sub and kind == "comments" and c.get("sub_more"):
+                        # per-platform sub-walk page 0 (J3): bilibili pages
+                        # by number, everyone else by the parent-supplied
+                        # initial cursor token
+                        cur0 = c["sub_cursor0"]
+                        if platform == "bilibili":
+                            u = f"https://{f['host']}/api/subcomments/{c['id']}?pn=1"
+                        else:
+                            u = f"https://{f['host']}/api/subcomments/{c['id']}?cursor={cur0}"
                         discovered.append(seed(
-                            f"https://{f['host']}/api/subcomments/{c['id']}?cursor=0",
-                            f["host"], f["priority"], f["depth"] + 1, f["keyword"],
-                            f["page"], idx, 0, "0",
+                            u, f["host"], f["priority"], f["depth"] + 1,
+                            f["keyword"], f["page"], idx, 0, cur0,
                         ))
                 more_ok = has_more and not (
                     kind == "comments" and mc is not None and (f["cursor_seq"] + 1) * ps >= mc
                 )
                 if more_ok:
+                    sep = "pn" if (kind == "subcomments" and platform == "bilibili") else "cursor"
                     discovered.append(seed(
-                        f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?cursor={next_cursor}",
+                        f"https://{f['host']}/api/{'comments' if kind == 'comments' else 'subcomments'}/{target}?{sep}={next_cursor}",
                         f["host"], f["priority"], f["depth"], f["keyword"],
                         f["page"], f["item_idx"], f["cursor_seq"] + 1, next_cursor,
                     ))

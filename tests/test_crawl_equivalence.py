@@ -137,6 +137,61 @@ def test_comment_cursor_strings_match_sim(spark, documents):
     pages.unpersist()
 
 
+def test_sub_comment_cursor_strings_match_sim(spark, documents):
+    """J3 — sub-walk frontier rows carry reference-identical per-platform
+    cursor strings: xhs opaque last-sub id (client.py:385-407), douyin
+    offset (client.py:262-267), kuaishou pcursor token ending at "no_more"
+    (client.py:249-264), bilibili PAGE NUMBER (?pn=, client.py:306-337),
+    zhihu offset token (client.py:304-350); weibo seeds no sub pages at
+    all (subs are inline, weibo/client.py:205-210)."""
+    docs = documents.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 150))
+    pages = synth.build_pages(spark, None, documents=docs).cache()
+    pages.count()
+    seeds = synth.build_seeds(spark, None, documents=docs)
+    robots = synth.build_robots(spark)
+    eng = CrawlEngine(spark, pages, robots, use_bloom=False)
+    # r0 content → comment p0 seeds; r1 comment p0 → sub p0 seeds (parent
+    # trigger fields); r2 sub p0 → sub p1 seeds carrying protocol cursors
+    res = eng.run(seeds, max_rounds=3)
+    sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=3,
+    )
+    frontier_rows = {
+        r["url"]: r["cursor"]
+        for r in res.frontier.collect()
+        if r["url"] in sim.cursor_vals
+    }
+    for url, cur in frontier_rows.items():
+        assert cur == sim.cursor_vals[url], url
+    sub = {u: c for u, c in frontier_rows.items() if "/api/subcomments/" in u}
+    assert sub, "expected sub-comment seeds in the frontier"
+    seen_plats = set()
+    for u, c in sub.items():
+        plat = u.split(".")[1]
+        seen_plats.add(plat)
+        if plat == "weibo":
+            raise AssertionError(f"weibo must not seed sub pages: {u}")
+        if "?pn=" in u:  # bilibili page-number walk
+            assert plat == "bilibili" and c in ("1", "2"), (u, c)
+        elif plat == "bilibili":
+            raise AssertionError(f"bilibili subs must page by number: {u}")
+        elif plat == "xhs":
+            assert c == "" or c.endswith("s9"), (u, c)
+        elif plat == "douyin":
+            assert c in ("0", "10"), (u, c)
+        elif plat == "kuaishou":
+            assert c in ("", "sp1"), (u, c)
+        elif plat == "zhihu":
+            assert c in ("", "10_0_0"), (u, c)
+    # page-1 cursors (the protocol's moving part) must actually appear
+    page1 = {c for c in sub.values() if c not in ("", "0", "1", None)}
+    assert page1, "expected sub page-1 cursor tokens in the frontier"
+    pages.unpersist()
+
+
 def test_failed_set_equal_including_null_host(engine_result, sim_result):
     """Exhausted-retry rows match the simulator — in particular the
     malformed seed (NULL parse_url host) must travel through the scheduler's
