@@ -313,9 +313,23 @@ def simhash_signatures_md5(documents: DataFrame, text_col: str = "text") -> Data
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, n_bands: int = 4) -> DataFrame:
-    """Hamming-radius candidates via band equality (any identical 16-bit band)."""
-    sigs = simhash_signatures(documents)
+def simhash_near_dups(
+    documents: DataFrame,
+    n_bands: int = 4,
+    hash_fn: str = "xxhash64",
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-equality candidates (any identical
+    16-bit band — the classic Hamming-radius pigeonhole: distance ≤
+    n_bands-1 guarantees one equal band), then an exact popcount-of-XOR
+    Hamming verify. One shuffle for the band self-join; the per-band key
+    space (2^16) bounds bucket fan-out. ``hash_fn='md5'`` uses the
+    portable digit-derived token hash so a DuckDB oracle reproduces the
+    pairs bit-for-bit (same dual-path pattern as MinHash)."""
+    sigs = (
+        simhash_signatures(documents) if hash_fn == "xxhash64"
+        else simhash_signatures_md5(documents)
+    )
     w = 64 // n_bands
     bands = sigs.select(
         "doc_id", "simhash",
@@ -330,12 +344,18 @@ def simhash_near_dups(documents: DataFrame, n_bands: int = 4) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     l, r = bands.alias("l"), bands.alias("r")
-    return (
+    pairs = (
         l.join(r, on=["band", "key"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs

@@ -108,6 +108,8 @@ def classify_url_col(url: Column) -> Column:
             F.lit("comments"),
         )
         .when(url.contains("/search/"), F.lit("search"))
+        # tieba creator-posts API (tieba/client.py:312-330 getthread walk)
+        .when(url.contains("/home/get/getthread"), F.lit("creator_posts"))
         .when(url.contains("/posts"), F.lit("creator_posts"))
         .when(url.contains("/fans"), F.lit("fans"))
         .when(url.contains("/followings"), F.lit("followings"))
@@ -230,7 +232,6 @@ def platform_col(host: Column) -> Column:
 
 def _state_json_col(html_str: Column, platform: Column) -> Column:
     """Pull the raw state JSON out of the page body, per platform."""
-    xhs = F.regexp_extract(html_str, r"(?s)window\.__INITIAL_STATE__=(\{.*?\})</script>", 1)
     weibo = F.regexp_extract(html_str, r"(?s)var \$render_data = \[(\{.*?\})\]\[0\]", 1)
     zhihu = F.regexp_extract(
         html_str, r'(?s)<script id="js-initialData"[^>]*>(\{.*?\})</script>', 1
@@ -238,7 +239,10 @@ def _state_json_col(html_str: Column, platform: Column) -> Column:
     api = F.regexp_extract(html_str, r'(?s)<script id="api-json"[^>]*>(\{.*?\})</script>', 1)
     tieba = F.regexp_extract(html_str, r'data-field="([^"]*)"', 1)
     return (
-        F.when(platform == "xhs", F.regexp_replace(xhs, ":undefined", ":null"))
+        # xhs primary path is the feed API (client.py:230-265); the
+        # __INITIAL_STATE__ HTML fallback is composed separately in
+        # _parse_cols (S9, xhs/core.py:272-283)
+        F.when(platform == "xhs", api)
         .when(platform == "weibo", F.regexp_replace(weibo, ":undefined", ":null"))
         .when(platform == "zhihu", zhihu)
         .when(platform == "tieba", _html_unescape(tieba))
@@ -436,12 +440,63 @@ def _parse_cols(comment_order: str = "default") -> list:
     )
     tb_search_html = F.when((kind == "search") & is_tieba, html_str)
     tb_snotes = F.from_json(T.search_notes_udf(tb_search_html), T.SEARCH_NOTE_DDL)
+    # tieba creator home page (S13/J4 tieba: HTML all the way down —
+    # extract_creator_info + the first-10-threads homepage list,
+    # tieba/client.py:332-360, help.py:207-265)
+    tb_creator_html = F.when((kind == "creator") & is_tieba, html_str)
+    tcr = F.from_json(T.creator_info_udf(tb_creator_html), T.CREATOR_DDL)
+    tb_tids = F.from_json(T.thread_ids_udf(tb_creator_html), "array<string>")
 
     # --- content branch (P1 + E2–E5 state-blob extraction) ---
     raw = _state_json_col(html_str, plat)
     state = F.from_json(raw, STATE_DDL)
     zhihu_state = _zhihu_state_col(raw)
-    eff = F.when(plat == "zhihu", zhihu_state).otherwise(state)
+    # xhs S9 composition (xhs/core.py:272-283): the feed API's
+    # items[0].note_card is the primary source; when the API envelope is
+    # empty (client.py:263-265 → dict()), the note resolves through the
+    # faithful __INITIAL_STATE__ HTML extractor (E5 Arrow UDF: regex pull,
+    # :undefined patch, recursive camelCase→snake_case, then
+    # note.note_detail_map[note_id].note — client.py:535-592). The UDF
+    # input is NULL-guarded to xhs content pages whose API items are
+    # missing, so the hoisted UDF sees Arrow nulls everywhere else.
+    xhs_feed = F.from_json(raw, f"items array<struct<note_card:struct<{STATE_DDL}>>>")
+    xhs_api_note = F.element_at(xhs_feed["items"], 1)["note_card"]
+    xhs_fb_html = F.when(
+        is_content & (plat == "xhs") & (F.size(xhs_feed["items"]).isNull()
+                                        | (F.size(xhs_feed["items"]) == 0)),
+        html_str,
+    )
+    _FB_NOTE = (
+        "note_id string, title string, desc string, "
+        "user struct<user_id:string, nickname:string>, "
+        "interact_info struct<liked_count:string>, time long, video_url string"
+    )
+    xhs_fb = F.element_at(
+        F.from_json(
+            xhs_initial_state_udf(xhs_fb_html),
+            f"note struct<note_detail_map: map<string, struct<note: struct<{_FB_NOTE}>>>>",
+        )["note"]["note_detail_map"],
+        note_id_from_url,
+    )["note"]
+    xhs_state = F.when(xhs_api_note.isNotNull(), xhs_api_note).otherwise(F.struct(
+        xhs_fb["note_id"].alias("note_id"),
+        xhs_fb["title"].alias("title"),
+        xhs_fb["desc"].alias("desc"),
+        F.struct(
+            xhs_fb["user"]["user_id"].alias("userId"),
+            xhs_fb["user"]["nickname"].alias("nickname"),
+        ).alias("user"),
+        F.struct(
+            xhs_fb["interact_info"]["liked_count"].alias("likedCount")
+        ).alias("interactInfo"),
+        xhs_fb["time"].alias("time"),
+        xhs_fb["video_url"].alias("videoUrl"),
+    ))
+    eff = (
+        F.when(plat == "zhihu", zhihu_state)
+        .when(plat == "xhs", xhs_state)
+        .otherwise(state)
+    )
     # tieba content = thread-detail HTML through the real extractor; the
     # TiebaNote has no numeric user id / liked count — user_id comes from
     # the author link's id param, liked/time stay NULL (full field set is
@@ -666,29 +721,48 @@ def _parse_cols(comment_order: str = "default") -> list:
         s_note_urls.alias("note_urls"),
     )
 
-    # --- creator profile branch (S13 + E13 per-platform gender maps) ---
+    # --- creator profile branch (S13 + E13 per-platform gender maps;
+    # tieba through the real HTML extractor — gender is already the label
+    # string via the sex_male/sex_female markers, help.py:305-318) ---
     cr = F.from_json(html_str, CREATOR_DDL)
     gender = (
-        F.when(plat == "zhihu", gender_col(cr["gender"], "zhihu"))
+        F.when(is_tieba, tcr["gender"])
+        .when(plat == "zhihu", gender_col(cr["gender"], "zhihu"))
         .otherwise(gender_col(cr["gender"], "xhs"))
     )
     creator_struct = F.struct(
-        cr["user_id"].alias("user_id"),
-        cr["nickname"].alias("nickname"),
+        F.when(is_tieba, tcr["user_id"]).otherwise(cr["user_id"]).alias("user_id"),
+        F.when(is_tieba, tcr["nickname"]).otherwise(cr["nickname"]).alias("nickname"),
         gender.alias("gender"),
-        cr["follows"].alias("follows"),
-        cr["fans"].alias("fans"),
+        F.when(is_tieba, tcr["follows"]).otherwise(cr["follows"]).alias("follows"),
+        F.when(is_tieba, tcr["fans"]).otherwise(cr["fans"]).alias("fans"),
     )
 
-    # --- creator-posts cursor branch (S14/J4) ---
+    # --- creator-posts cursor branch (S14/J4; tieba = the getthread API:
+    # {"no",data:{has_more,thread_list:[{thread_id}]}} paged by 1-based pn,
+    # 20/page, note URL built client-side as /p/{thread_id} —
+    # tieba/client.py:312-385; the reference stops the walk when no != 0) ---
     pp = F.from_json(html_str, CREATOR_POSTS_DDL)
+    tb_pp = F.from_json(
+        html_str,
+        "no int, data struct<has_more:int, thread_list:array<struct<thread_id:string>>>",
+    )
+    tb_un = F.regexp_extract(url, r"[?&]un=([^&]+)", 1)
     target_uid = F.regexp_extract(url, r"/user/([^/?]+)", 1)
-    ppage_struct = F.struct(
+    ppage_struct = F.when(is_tieba, F.struct(
+        tb_un.alias("target_uid"),
+        ((tb_pp["no"] == 0) & (tb_pp["data"]["has_more"] == 1)).alias("has_more"),
+        (bl_pn + 1).cast("string").alias("next_cursor"),
+        F.when(tb_pp["no"] == 0, F.transform(
+            tb_pp["data"]["thread_list"],
+            lambda t: F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"), t["thread_id"]),
+        )).alias("note_urls"),
+    )).otherwise(F.struct(
         target_uid.alias("target_uid"),
         pp["has_more"].alias("has_more"),
         pp["cursor"].alias("next_cursor"),
         pp["note_urls"].alias("note_urls"),
-    )
+    ))
 
     # --- fans/followings relation branch (S15/J5) ---
     fp = F.from_json(html_str, CONTACT_PAGE_DDL)
@@ -729,6 +803,10 @@ def _parse_cols(comment_order: str = "default") -> list:
         # full-fidelity side channels for the tieba_notes / zhihu_comments
         # output tables
         F.when(is_tieba & is_content, tpage["note"]).alias("tnote"),
+        # tieba creator surface: full TiebaCreator struct (user_name feeds
+        # the getthread URL) + the homepage first-10 thread-id list
+        F.when(is_tieba & (kind == "creator"), tcr).alias("tcreator"),
+        F.when(is_tieba & (kind == "creator"), tb_tids).alias("tb_tids"),
         # zhihu child pages carry FULL comment objects too (the reference
         # extracts them with the same extractor, zhihu/client.py:334-343)
         F.when((is_comments | is_subc) & (plat == "zhihu"), zh_data).alias("zcm"),

@@ -749,17 +749,42 @@ class CrawlEngine:
         ))
 
         uid = F.regexp_extract(c("url"), r"/user/([^/?]+)", 1)
+        is_tb = c("platform") == "tieba"
         if self.crawl_creator_posts:
-            # creator profile → posts cursor page 0 (S14/J4)
+            # creator profile → posts cursor page 0 (S14/J4). Tieba speaks
+            # the getthread API keyed by user_name (tieba/client.py:312-330,
+            # 1-based pn); everyone else the generic /posts cursor walk.
+            posts0_url = F.when(
+                is_tb,
+                F.concat(https, host, F.lit("/home/get/getthread?un="),
+                         c("tcreator.user_name"), F.lit("&pn=1")),
+            ).otherwise(
+                F.concat(https, host, F.lit("/user/"), uid, F.lit("/posts?cursor=0"))
+            )
             pieces.append(_guard(
                 kind == "creator",
                 F.array(_sstruct(
-                    F.concat(https, host, F.lit("/user/"), uid, F.lit("/posts?cursor=0")),
-                    host, priority, depth + 1, keyword, page, item_idx,
-                    F.lit(0), F.lit("0"),
+                    posts0_url, host, priority, depth + 1, keyword, page,
+                    item_idx, F.lit(0),
+                    F.when(is_tb, F.lit("1")).otherwise(F.lit("0")),
                 )),
             ))
-            # posts listing → note seeds (inherit the page's cursor_seq)
+            # tieba homepage special case: the first ≤10 threads ride on the
+            # creator page itself and are NOT in the API ("前10个帖子…通过API
+            # 获取不到", tieba/client.py:351-360) — detail-fetched directly,
+            # ungated by max_note_count (the reference fetches them before
+            # the budgeted while loop)
+            pieces.append(_guard(
+                (kind == "creator") & is_tb & c("tb_tids").isNotNull(),
+                F.transform(c("tb_tids"), lambda t, i: _sstruct(
+                    F.concat(https, host, F.lit("/p/"), t),
+                    host, priority, depth + 1, keyword, page, i, F.lit(0),
+                    F.lit(None).cast("string"),
+                )),
+            ))
+            # posts listing → note seeds (inherit the page's cursor_seq).
+            # Tieba items are ungated: the reference's budget counts PAGES
+            # (total_get_count += page_per_count), never trims thread_list.
             def _post_note(u, i):
                 s = _sstruct(
                     u, F.parse_url(u, F.lit("HOST")), priority, depth + 1,
@@ -767,7 +792,9 @@ class CrawlEngine:
                 )
                 if self.max_creator_posts is not None:
                     return F.when(
-                        cursor_seq * self.posts_page_size + i < self.max_creator_posts, s
+                        is_tb
+                        | (cursor_seq * self.posts_page_size + i < self.max_creator_posts),
+                        s,
                     )
                 return s
             pieces.append(_guard(
@@ -777,16 +804,29 @@ class CrawlEngine:
                     lambda s: s.isNotNull() & s["url"].isNotNull(),
                 ),
             ))
+            # next posts page: generic gate is item-budgeted; the tieba gate
+            # is the reference's page-granular total_get_count math
+            # (page_per_count=20, tieba/client.py:364-385)
             posts_gate = c("ppage.has_more")
             if self.max_creator_posts is not None:
                 posts_gate = posts_gate & (
-                    (cursor_seq + 1) * self.posts_page_size < self.max_creator_posts
+                    F.when(is_tb, (cursor_seq + 1) * 20 < self.max_creator_posts)
+                    .otherwise(
+                        (cursor_seq + 1) * self.posts_page_size < self.max_creator_posts
+                    )
                 )
+            posts_next_url = F.when(
+                is_tb,
+                F.concat(https, host, F.lit("/home/get/getthread?un="),
+                         c("ppage.target_uid"), F.lit("&pn="), c("ppage.next_cursor")),
+            ).otherwise(
+                F.concat(https, host, F.lit("/user/"), c("ppage.target_uid"),
+                         F.lit("/posts?cursor="), c("ppage.next_cursor")),
+            )
             pieces.append(_guard(
                 (kind == "creator_posts") & posts_gate,
                 F.array(_sstruct(
-                    F.concat(https, host, F.lit("/user/"), c("ppage.target_uid"),
-                             F.lit("/posts?cursor="), c("ppage.next_cursor")),
+                    posts_next_url,
                     host, priority, depth, keyword, page, item_idx,
                     cursor_seq + 1, c("ppage.next_cursor"),
                 )),

@@ -784,6 +784,30 @@ FROM v
 # Oracle-less entries (engine-specific inputs or non-portable hashes):
 # driver records the weaker rows-only check.
 
+def q_simhash_pairs_md5(spark, sf):  # SimHash near-dup pairs, oracle-paired
+    return dedup.simhash_near_dups(
+        _t(spark, sf, "documents"), hash_fn="md5", max_hamming=3
+    )
+
+
+# Band-equality candidates (4×16-bit pigeonhole) + exact popcount-of-XOR
+# Hamming verify, over the md5-portable signatures (SQL_SIMHASH_MD5 CTE).
+# DuckDB's >> is an arithmetic shift and bit_count a two's-complement
+# popcount on BIGINT — both match Spark's shiftright/bit_count exactly.
+SQL_SIMHASH_PAIRS_MD5 = f"""
+WITH sigs AS ({SQL_SIMHASH_MD5}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 16)) & 65535 AS key
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+                         AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
 def q_simhash(spark, sf):  # dedup SimHash — xxhash64 not reproducible in DuckDB
     return dedup.simhash_signatures(_t(spark, sf, "documents"))
 
@@ -1003,6 +1027,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "simhash_sigs_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
+    "simhash_near_dups_md5": (q_simhash_pairs_md5, SQL_SIMHASH_PAIRS_MD5),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),

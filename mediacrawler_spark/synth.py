@@ -221,9 +221,33 @@ def _tb_thread_html(start, count_on_page):
 def build_content_pages(documents: DataFrame) -> DataFrame:
     b = _base(documents)
     state = _state_json(b)
+    # xhs S9 composition (xhs/core.py:272-283 get_note_detail_async_task):
+    # the API (/api/sns/web/v1/feed → items[0].note_card) is the primary
+    # path; for a deterministic subset the API comes back EMPTY (the
+    # reference's "爬取频繁" case, client.py:263-265 returns dict()) and the
+    # note resolves ONLY via the HTML __INITIAL_STATE__ fallback
+    # (client.py:535-592: note.noteDetailMap[note_id].note, camelCase keys,
+    # :undefined tokens).
+    xhs_api_empty = F.pmod(F.col("doc_id"), F.lit(11)) == 4
+    xhs_api = F.concat(
+        F.lit('<script id="api-json" type="application/json">'),
+        F.when(xhs_api_empty, F.lit("{}")).otherwise(
+            F.concat(F.lit('{"items":[{"note_card":'),
+                     F.regexp_replace(state, ":undefined", ":null"),
+                     F.lit("}]}")),
+        ),
+        F.lit("</script>"),
+    )
+    xhs_fb = F.when(
+        xhs_api_empty,
+        F.concat(
+            F.lit('<script>window.__INITIAL_STATE__={"note":{"noteDetailMap":{"'),
+            F.col("note_id"), F.lit('":{"note":'), state,
+            F.lit("}}}}</script>"),
+        ),
+    ).otherwise(F.lit(""))
     embed = (
-        F.when(F.col("platform") == "xhs",
-               F.concat(F.lit('<script>window.__INITIAL_STATE__='), state, F.lit("</script>")))
+        F.when(F.col("platform") == "xhs", F.concat(xhs_api, xhs_fb))
         .when(F.col("platform") == "weibo",
               F.concat(F.lit("<script>var $render_data = ["), state, F.lit("][0] || {};</script>")))
         .when(F.col("platform") == "zhihu",
@@ -752,15 +776,157 @@ def build_search_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def _tieba_creator_agg(documents: DataFrame) -> DataFrame:
+    """Per tieba creator: warc_ts/nickname/_min_doc + the ordered note-id
+    list of their h0-hosted threads. Only h0 threads are listed (fixture
+    bridge: the reference is single-host — tieba.baidu.com — so every
+    listed thread is fetchable at the request host; this corpus spreads
+    tieba over h0-h3, and a /p/{tid} seed constructed on the creator
+    page's host can only resolve for h0-hosted threads)."""
+    b = _base(documents).filter(F.col("platform") == "tieba")
+    return b.groupBy("user_id").agg(
+        F.min("warc_ts").alias("warc_ts"),
+        F.min("nickname").alias("nickname"),
+        F.min("doc_id").alias("_min_doc"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("host") == "h0.tieba.example",
+                        F.struct(F.col("doc_id").alias("d"), F.col("note_id").alias("n")),
+                    )
+                )
+            ),
+            lambda s: s["n"],
+        ).alias("_tids"),
+    )
+
+
+def build_tieba_creator_pages(documents: DataFrame) -> DataFrame:
+    """Tieba creator home pages — REAL HTML through the E2 extractor
+    surface (reference: help.py:207-265 extract_creator_info +
+    extract_tieba_thread_id_list_from_creator_page). The first ≤10 threads
+    ride on the page in a ``new_list clearfix`` ul (the reference's
+    "前10个帖子" homepage special case, tieba/client.py:332-360); markers
+    match the extractor anchors: space-link id/un params, userinfo_userdata
+    (gender marker, IP, 吧龄), two concern_num spans (follows then fans)."""
+    creators = _tieba_creator_agg(documents)
+    user_name = F.concat(F.lit("un"), F.col("user_id"))
+    gender_cls = F.element_at(
+        F.array(F.lit("sex_male"), F.lit("sex_female"), F.lit("nosex")),
+        (F.pmod(F.col("_min_doc"), F.lit(3)) + 1).cast("int"),
+    )
+    ip = F.element_at(
+        F.array(F.lit("北京"), F.lit("上海"), F.lit("广东"), F.lit("浙江")),
+        (F.pmod(F.col("_min_doc"), F.lit(4)) + 1).cast("int"),
+    )
+    first10 = F.slice(F.col("_tids"), 1, 10)
+    # one nested <ul> inside a thread_name block: the balanced new_list
+    # capture must not truncate at the inner </ul>
+    thread_divs = F.array_join(
+        F.transform(
+            first10,
+            lambda t, i: F.concat(
+                F.lit('<li class="new_item"><div class="thread_name"><a href="/p/'), t,
+                F.lit('?fr=home" title="t">贴 '), t,
+                F.when(i == 0, F.lit('</a><ul class="inner"><li>nested</li></ul>'))
+                .otherwise(F.lit("</a>")),
+                F.lit("</div></li>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="userinfo_left_head"><img src="https://img.example/'),
+        F.col("user_id"), F.lit('.png"></div>'),
+        F.lit('<span class="userinfo_username ">'), F.col("nickname"), F.lit("</span>"),
+        F.lit('<p class="space"><a href="/home/main?id='), F.col("user_id"),
+        F.lit("&un="), user_name, F.lit('">主页</a></p>'),
+        F.lit('<div class="userinfo_userdata"><span class="'), gender_cls,
+        F.lit('"></span><span class="tail-info">IP属地:'), ip,
+        F.lit("</span><span>吧龄:"),
+        (F.pmod(F.col("_min_doc"), F.lit(15)) + 1).cast("string"), F.lit("年</span></div>"),
+        F.lit('<span class="concern_num">(<a href="#">'),
+        F.pmod(F.col("_min_doc"), F.lit(500)).cast("string"), F.lit("</a>)</span>"),
+        F.lit('<span class="concern_num">(<a href="#">'),
+        F.pmod(F.col("_min_doc") * 7, F.lit(9999)).cast("string"), F.lit("</a>)</span>"),
+        F.lit('<ul class="new_list clearfix">'), thread_divs, F.lit("</ul>"),
+        F.lit("</body></html>"),
+    )
+    url = F.concat(F.lit("https://h0.tieba.example/user/"), F.col("user_id"))
+    return creators.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("creator").alias("kind"),
+        F.lit("tieba").alias("platform"),
+        F.lit("h0.tieba.example").alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
+def build_tieba_getthread_pages(documents: DataFrame) -> DataFrame:
+    """Tieba creator-posts API pages (/home/get/getthread?un&pn — the
+    reference's get_notes_by_creator walk, tieba/client.py:312-385):
+    threads BEYOND the homepage's first 10 (the reference comment: the
+    first 10 "通过API获取不到"), 20 per page (page_per_count), JSON
+    ``{"no":0,"data":{"has_more",thread_list:[{thread_id}]}}``. pn is
+    1-based; pn=1 always exists (the reference probes it unconditionally).
+    The reference request also carries ``id=utf-8`` and a ``_`` timestamp
+    cache-buster — neither carries pagination state, so URLs here are
+    canonicalized to (un, pn)."""
+    creators = _tieba_creator_agg(documents)
+    rest = F.slice(F.col("_tids"), 11, F.greatest(F.size(F.col("_tids")) - 10, F.lit(0)))
+    n_api_pages = F.greatest(F.ceil(F.size(rest) / 20).cast("int"), F.lit(1))
+    pages = creators.select(
+        "*", rest.alias("_rest"), n_api_pages.alias("_np"),
+        F.explode(F.sequence(F.lit(1), n_api_pages)).alias("_pn"),
+    )
+    start = (F.col("_pn") - 1) * 20
+    cnt = F.greatest(F.least(F.lit(20), F.size(F.col("_rest")) - start), F.lit(0))
+    items = F.when(cnt > 0, F.array_join(
+        F.transform(
+            F.slice(F.col("_rest"), start + 1, F.greatest(cnt, F.lit(1))),
+            lambda t: F.concat(F.lit('{"thread_id":"'), t, F.lit('"}')),
+        ),
+        ",",
+    )).otherwise(F.lit(""))
+    has_more = (F.col("_pn") * 20 < F.size(F.col("_rest"))).cast("int")
+    body = F.concat(
+        F.lit('{"no":0,"data":{"has_more":'), has_more.cast("string"),
+        F.lit(',"thread_list":['), items, F.lit("]}}"),
+    )
+    url = F.concat(
+        F.lit("https://h0.tieba.example/home/get/getthread?un=un"),
+        F.col("user_id"), F.lit("&pn="), F.col("_pn").cast("string"),
+    )
+    return pages.select(
+        url.alias("url"),
+        "warc_ts",
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("zh").alias("lang"),
+        F.lit("creator_posts").alias("kind"),
+        F.lit("tieba").alias("platform"),
+        F.lit("h0.tieba.example").alias("host"),
+        F.lit(None).cast("string").alias("note_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(0).alias("n_comments"),
+    )
+
+
 def build_creator_pages(documents: DataFrame) -> DataFrame:
     """Creator-info pages (reference S13: profile HTML with embedded JSON).
 
     One page per (platform, user_id) on the platform's h0 host; JSON body
     carries the creator fields the reference normalizes
     (store/xhs/__init__.py:165-211: nickname, gender int, follows/fans
-    count-strings).
-    """
-    b = _base(documents)
+    count-strings). Tieba creators are REAL HTML home pages instead
+    (build_tieba_creator_pages — the reference's tieba creator surface is
+    HTML all the way down)."""
+    b = _base(documents).filter(F.col("platform") != "tieba")
     creators = b.groupBy("platform", "user_id").agg(
         F.min("warc_ts").alias("warc_ts"),
         F.first("nickname").alias("nickname"),
@@ -802,10 +968,11 @@ def build_creator_posts_pages(documents: DataFrame) -> DataFrame:
     fan-out). One page per (platform, user_id, cursor_k) listing that
     creator's note URLs, 10 per page, in deterministic doc_id order. The
     cursor_k=0 page always exists (the reference probes the first page
-    unconditionally)."""
+    unconditionally). Tieba is excluded — its creator-posts surface is the
+    getthread API (build_tieba_getthread_pages)."""
     from pyspark.sql import Window
 
-    b = _base(documents)
+    b = _base(documents).filter(F.col("platform") != "tieba")
     w = Window.partitionBy("platform", "user_id").orderBy("doc_id")
     items = (
         b.withColumn("_rn", F.row_number().over(w) - 1)
@@ -986,6 +1153,8 @@ def build_pages(
         .unionByName(build_tieba_sub_pages(documents))
         .unionByName(build_search_pages(documents))
         .unionByName(build_creator_pages(documents))
+        .unionByName(build_tieba_creator_pages(documents))
+        .unionByName(build_tieba_getthread_pages(documents))
         .unionByName(build_creator_posts_pages(documents))
         .unionByName(build_contact_pages(documents))
         .unionByName(build_dynamics_pages(documents))

@@ -48,6 +48,8 @@ def classify(url: str) -> str:
         return "comments"
     if "/search/" in url:
         return "search"
+    if "/home/get/getthread" in url:
+        return "creator_posts"
     if "/posts" in url:
         return "creator_posts"
     if "/fans" in url:
@@ -300,6 +302,25 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         pg + 1, 0, 0,
                         search_cursor(platform, pg + 1, session_id),
                     ))
+            elif kind == "creator" and platform == "tieba":
+                # S13/J4 tieba: HTML creator home page — the real extractor
+                # plus the first-10-threads homepage special case
+                # (tieba/client.py:332-360)
+                info = T.extract_creator_info(body)
+                res.creators.add((info["user_id"], platform))
+                if crawl_creator_posts:
+                    for i, tid in enumerate(T.extract_thread_ids_from_creator_page(body)):
+                        discovered.append(seed(
+                            f"https://{f['host']}/p/{tid}",
+                            f["host"], f["priority"], f["depth"] + 1,
+                            f["keyword"], f["page"], i, 0, None,
+                        ))
+                    discovered.append(seed(
+                        f"https://{f['host']}/home/get/getthread"
+                        f"?un={info['user_name']}&pn=1",
+                        f["host"], f["priority"], f["depth"] + 1, f["keyword"],
+                        f["page"], f["item_idx"], 0, "1",
+                    ))
             elif kind == "creator":
                 doc = json.loads(body)
                 platform = f["host"].split(".")[1]
@@ -323,6 +344,32 @@ def simulate(pages_rows, seeds_rows, robots_rows, max_rounds=40, enable_sub=True
                         f["host"], f["priority"], f["depth"] + 1, f["keyword"],
                         f["page"], f["item_idx"], 0, "0",
                     ))
+            elif kind == "creator_posts" and platform == "tieba":
+                # getthread walk (tieba/client.py:364-385): stop on no != 0;
+                # thread_list items UNtrimmed (the budget counts pages —
+                # total_get_count += page_per_count=20 — never items)
+                doc = json.loads(body)
+                pn = int(re.search(r"[?&]pn=(\d+)", f["url"]).group(1))
+                un = re.search(r"[?&]un=([^&]+)", f["url"]).group(1)
+                if doc.get("no") == 0:
+                    data = doc["data"]
+                    for idx, t in enumerate(data["thread_list"]):
+                        discovered.append(seed(
+                            f"https://{f['host']}/p/{t['thread_id']}",
+                            f["host"], f["priority"], f["depth"] + 1,
+                            f["keyword"], f["page"], idx, f["cursor_seq"], None,
+                        ))
+                    if data["has_more"] == 1 and (
+                        max_creator_posts is None
+                        or (f["cursor_seq"] + 1) * 20 < max_creator_posts
+                    ):
+                        discovered.append(seed(
+                            f"https://{f['host']}/home/get/getthread"
+                            f"?un={un}&pn={pn + 1}",
+                            f["host"], f["priority"], f["depth"], f["keyword"],
+                            f["page"], f["item_idx"], f["cursor_seq"] + 1,
+                            str(pn + 1),
+                        ))
             elif kind == "creator_posts":
                 doc = json.loads(body)
                 uid = uid_of(f["url"])

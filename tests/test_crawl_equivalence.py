@@ -248,3 +248,71 @@ def test_comment_order_time_desc_equivalence(spark, corpus):
         max_rounds=25,
     )
     assert got != default_sim.comments  # the mode is not a no-op
+
+
+def test_xhs_api_html_fallback_in_loop(spark):
+    """S9 composition in-loop (xhs/core.py:272-283): some xhs notes get an
+    EMPTY feed-API envelope and resolve ONLY through the __INITIAL_STATE__
+    HTML fallback (client.py:535-592). Their content rows must carry the
+    full field set (values pinned against the corpus attribute columns, not
+    the extractor), and the engine's creator seeds — which come from the
+    PARSED user_id — must equal the simulator's (data-uid regex, an
+    independent path)."""
+    # doc_id % 7 == 0 (xhs), % 11 == 4 (API-empty), and on robots-allowed
+    # hosts (xxhash host bucket != 3)
+    fb_ids = [224, 301, 378]
+    api_ids = [77, 231, 385]      # xhs, API-success, allowed hosts
+    docs = spark.createDataFrame(
+        [(i, f"正文 body {i}", "zh") for i in fb_ids + api_ids],
+        "doc_id long, text string, lang string",
+    )
+    pages = synth.build_pages(spark, None, documents=docs).cache()
+    pages.count()
+    xhs_pages = {
+        r["url"]: bytes(r["html"]).decode()
+        for r in pages.filter(
+            (F.col("platform") == "xhs") & (F.col("kind") == "content")
+        ).collect()
+    }
+    # corpus sanity: the fallback subset is API-empty + INITIAL_STATE
+    for u, h in xhs_pages.items():
+        did = int(u.split("/explore/n")[1].split("?")[0])
+        if did in fb_ids:
+            assert '"api-json" type="application/json">{}</script>' in h
+            assert "__INITIAL_STATE__" in h and "noteDetailMap" in h
+        else:
+            assert '"note_card":' in h and "__INITIAL_STATE__" not in h
+
+    seeds = spark.createDataFrame(
+        [(u, 0, None) for u in sorted(xhs_pages)],
+        "url string, priority int, keyword string",
+    )
+    robots = synth.build_robots(spark)
+    eng = CrawlEngine(spark, pages, robots, use_bloom=False, crawl_creators=True)
+    res = eng.run(seeds, max_rounds=6)
+    sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=6, crawl_creators=True,
+    )
+    got_seen = {r["url"] for r in res.seen.collect()}
+    assert got_seen == sim.seen
+    # parsed user_id seeded a creator page for EVERY note, fallback included
+    assert sum("/user/" in u for u in got_seen) > 0
+
+    # field values pinned against the corpus attribute columns
+    exp = {
+        r["note_id"]: r
+        for r in synth._base(docs).filter(F.col("platform") == "xhs").collect()
+    }
+    content = {r["note_id"]: r for r in res.content.collect()}
+    assert set(content) == {f"n{i}" for i in fb_ids + api_ids}
+    for nid, r in content.items():
+        e = exp[nid]
+        assert r["title"] == f"title-{nid}"
+        assert r["user_id"] == e["user_id"] and r["nickname"] == e["nickname"]
+        assert r["liked_count"] == e["liked_count"]
+        assert r["time"] == e["create_ms"]
+    eng.clear_scratch()
+    pages.unpersist()

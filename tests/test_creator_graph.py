@@ -61,6 +61,9 @@ def test_seen_set_equal_with_graph(engine_result, sim_result):
     assert any("/posts" in u for u in got)
     assert any("/fans" in u for u in got)
     assert any("/dynamics" in u for u in got)
+    # tieba creators walk the getthread API, not the generic /posts cursor
+    assert any("/home/get/getthread" in u for u in got)
+    assert not any("/posts" in u and ".tieba." in u for u in got)
 
 
 def test_posts_content_keys_equal(engine_result, sim_result):
@@ -125,6 +128,66 @@ def test_dynamics_fields(engine_result):
         assert r["dynamic_id"].startswith("dyn-")
         assert r["dynamic_type"].startswith("DYNAMIC_TYPE_")
         assert r["pub_ts"] > 0
+
+
+def test_tieba_creator_getthread_paging(spark):
+    """S13/J4 tieba in-loop: one creator with 51 h0-hosted threads — the
+    homepage lists the first 10 (fetched ungated, reference
+    tieba/client.py:351-360), the getthread API pages the remaining 41 at
+    20/page, and max_creator_posts=30 cuts the walk after pn=2 via the
+    reference's page-granular total_get_count math (client.py:364-385):
+    pn=3 exists in the corpus but is never fetched. Engine ≡ simulator on
+    seen/content/ordering keys + getthread cursor strings."""
+    from pyspark.sql import functions as F
+
+    # doc_ids ≡ 1 (mod 707) share platform=tieba (707 ≡ 0 mod 7) and
+    # user_id=user1 (707 ≡ 0 mod 101); keep the h0-hosted, non-viral ones
+    cand = spark.range(0, 200).select(
+        (F.col("id") * 707 + 1).alias("doc_id")
+    ).filter(
+        (F.pmod(F.xxhash64(F.lit("host"), F.col("doc_id")), F.lit(16)) < 8)
+        & (F.pmod(F.col("doc_id"), F.lit(97)) != 0)
+    ).orderBy("doc_id").limit(51)
+    docs = cand.select(
+        "doc_id",
+        F.concat(F.lit("正文 text "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("zh").alias("lang"),
+    )
+    pages = synth.build_pages(spark, None, documents=docs).cache()
+    pages.count()
+    tb_pages = {r["url"] for r in pages.select("url").collect()}
+    assert any("getthread" in u and "pn=3" in u for u in tb_pages)  # corpus has pn=3
+    seeds = spark.createDataFrame(
+        [("https://h0.tieba.example/user/user1", 0, None)],
+        "url string, priority int, keyword string",
+    )
+    robots = synth.build_robots(spark)
+    eng = CrawlEngine(
+        spark, pages, robots, use_bloom=False,
+        crawl_creator_posts=True, max_creator_posts=30,
+    )
+    res = eng.run(seeds, max_rounds=20)
+    sim = simulate(
+        [r.asDict() for r in pages.select("url", "html").collect()],
+        [r.asDict() for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        max_rounds=20, crawl_creator_posts=True, max_creator_posts=30,
+    )
+    got_seen = {r["url"] for r in res.seen.collect()}
+    assert got_seen == sim.seen
+    gt = sorted(u for u in got_seen if "getthread" in u)
+    assert [u.split("pn=")[1] for u in gt] == ["1", "2"]  # pn=3 budget-cut
+    # first-10 + 20 + 20 threads fetched = 50 of the 51
+    got_content = {
+        (r["note_id"], r["ord_keyword"], r["ord_page"], r["ord_item_idx"], r["ord_cursor_seq"])
+        for r in res.content.collect()
+    }
+    assert got_content == sim.content
+    assert len({n for (n, *_rest) in got_content}) == 50
+    # frontier cursor strings for the getthread pages matched the sim's
+    creators = {(r["user_id"], r["platform"]) for r in res.creators.collect()}
+    assert creators == sim.creators == {("user1", "tieba")}
+    pages.unpersist()
 
 
 def test_search_cursor_strings_match_sim(spark, documents):

@@ -64,16 +64,26 @@ def test_extract_comment_pages_roundtrip(spark, documents):
 
 
 def test_xhs_initial_state_udf_matches_oracle(spark, documents):
+    # xhs content pages are API-first (S9): only the deterministic
+    # API-empty subset carries the __INITIAL_STATE__ fallback blob; the
+    # UDF≡oracle parity must hold on BOTH shapes (None on api-path pages).
     pages = build_content_pages(documents).filter(F.col("platform") == "xhs").limit(50)
     pdf = pages.select("url", "html").toPandas()
     via_udf = xhs_initial_state_udf.func(pdf["html"])
+    n_fallback = 0
     for blob, html in zip(via_udf, pdf["html"]):
         assert blob == xhs_initial_state_py(bytes(html))
-        obj = json.loads(blob)
+        if blob is None:
+            assert b"__INITIAL_STATE__" not in bytes(html)
+            continue
+        n_fallback += 1
+        obj = json.loads(blob)["note"]["note_detail_map"]
+        obj = next(iter(obj.values()))["note"]
         # camelCase rewritten recursively; :undefined patched to null
         assert "user" in obj and "user_id" in obj["user"]
         assert "interact_info" in obj and "liked_count" in obj["interact_info"]
         assert obj["video_url"] is None
+    assert n_fallback > 0, "expected API-empty fallback pages in the slice"
 
 
 def test_xhs_snake_case_rewrite_edge_cases():

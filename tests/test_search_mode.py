@@ -75,7 +75,9 @@ def test_creator_fields_extracted(engine_result):
     rows = engine_result.creators.collect()
     for r in rows:
         assert r["user_id"].startswith("user")
-        assert r["gender"] in ("男", "女", None)
+        # tieba creators go through the HTML extractor, whose gender label
+        # set includes 未知 (reference help.py:292-305)
+        assert r["gender"] in ("男", "女", "未知", None)
         assert r["fans"] is not None
 
 
