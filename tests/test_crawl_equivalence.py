@@ -221,6 +221,32 @@ def test_resume_equals_uninterrupted(spark, corpus, engine_result, tmp_path):
     assert a == b
 
 
+def test_crashed_round_write_reruns_on_resume(spark, corpus, engine_result, tmp_path):
+    """The round write transaction commits via a driver-side
+    ``deltas/_SUCCESS`` marker written only after EVERY per-table job
+    committed. A crash mid-write leaves partial ``tbl=`` shards with no
+    marker: resume must treat the round as incomplete, never read its
+    partial shards (path-level seen visibility), and re-run it — final
+    seen set identical to an uninterrupted crawl."""
+    import os
+
+    pages, seeds, robots = corpus
+    ck = str(tmp_path / "ckpt_crash")
+    eng1 = CrawlEngine(spark, pages, robots, checkpoint_dir=ck, use_bloom=False)
+    eng1.run(seeds, max_rounds=4)
+    # simulate a crash during round 3's write: the per-table shards are
+    # (partially) on disk but the round marker never landed
+    r3 = os.path.join(ck, "round=00003", "deltas")
+    assert os.path.isfile(os.path.join(r3, "_SUCCESS"))
+    assert any(d.startswith("tbl=") for d in os.listdir(r3))
+    os.remove(os.path.join(r3, "_SUCCESS"))
+    eng2 = CrawlEngine(spark, pages, robots, checkpoint_dir=ck, use_bloom=False)
+    resumed = eng2.run(seeds, max_rounds=25, resume=True)
+    a = {r["url"] for r in resumed.seen.collect()}
+    b = {r["url"] for r in engine_result.seen.collect()}
+    assert a == b
+
+
 def test_comment_order_time_desc_equivalence(spark, corpus):
     """O2 — CommentOrderType=time_desc: engine and simulator re-rank each
     comment page's item_idx by (create_time DESC, id ASC) and stay
