@@ -124,6 +124,16 @@ def worker(cpus: int, amplify: int | None = None) -> None:
             f"CREATE TABLE IF NOT EXISTS {tbl} ({pages_ddl}) USING PARQUET "
             f"CLUSTERED BY (url) SORTED BY (url) INTO 96 BUCKETS LOCATION '{stage}'"
         )
+    # Staging integrity gate: a bucketed write that materializes fewer
+    # than one file per bucket has silently dropped buckets (observed
+    # once under memory pressure: 32/96 files, 1/3 of the rows, clean
+    # _SUCCESS) — refuse to measure a truncated corpus.
+    n_files = sum(1 for f in os.listdir(stage) if f.startswith("part-"))
+    if n_files != 96:
+        raise RuntimeError(
+            f"staged corpus {stage} has {n_files} bucket files, expected 96 "
+            "(one per bucket); delete the dir and re-stage"
+        )
     pages = spark.table(tbl)
     n_pages = pages.count()
     robots = synth.build_robots(spark).withColumn("max_per_round", F.lit(10_000_000))
