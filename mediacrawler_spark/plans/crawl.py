@@ -861,7 +861,9 @@ class CrawlEngine:
         # parsed frame is NARROW: html is decoded once in parse_round and
         # never cached.
         scheduled = scheduled.persist()
+        _t = time.time()
         n_scheduled = scheduled.count()
+        self._t_select = time.time() - _t
         self._small_round = n_scheduled < 20_000
         # Adaptive shuffle width, sized from THIS round's scheduled count
         # (politeness-bounded rounds are often 10^3 rows on a session tuned
@@ -1275,8 +1277,11 @@ class CrawlEngine:
                 t_write = time.time() - t1
 
                 # incremental Bloom maintenance (delta merge, never a rebuild
-                # once active) — fed from the read-back, no recompute
-                if self.use_bloom:
+                # once active) — fed from the read-back, no recompute. Skipped
+                # after the final round: the filter only prefilters the NEXT
+                # round's dedup, and there isn't one (resume rebuilds it from
+                # the seen log, so nothing is lost).
+                if self.use_bloom and r + 1 < max_rounds:
                     if self._bloom is None and self._seen_count >= self.bloom_min_seen:
                         self._bloom = seen_ops.ShardedBloom.build(
                             self._read_seen(r + 1),
@@ -1293,7 +1298,9 @@ class CrawlEngine:
                     df.unpersist()
                 if debug:
                     print(
-                        f"[crawl r{r}] build={t_build:.2f}s parse={t_parse:.2f}s "
+                        f"[crawl r{r}] build={t_build:.2f}s "
+                        f"(select_job={getattr(self, '_t_select', 0.0):.2f}s) "
+                        f"parse={t_parse:.2f}s "
                         f"write={t_write:.2f}s "
                         f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
                     )
