@@ -169,6 +169,9 @@ def _delta_cols(name: str) -> list[str]:
 
 
 _RC: dict | None = None
+# process-wide cache of the seed fan-out Column tree, keyed by the engine
+# budget config it bakes in (see CrawlEngine._seed_array_col)
+_SEED_ARR_CACHE: dict[tuple, object] = {}
 
 
 def _seed_cols(url_col, host_col, priority, depth, keyword, page, item_idx,
@@ -391,6 +394,8 @@ class CrawlEngine:
         broadcast_threshold: int = 3_000_000,
         fetch_join: str = "auto",  # auto | broadcast | colocated
         state_codec: str | None = None,  # intra-round state parquet codec
+        parsed_materialize_min: int = 20_000,  # lineage-cut band (rows)
+        parsed_materialize_max: int = 2_000_000,
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -441,6 +446,28 @@ class CrawlEngine:
         # when the write phase binds on the shared memory/storage stack.
         self.state_codec = state_codec or os.environ.get(
             "SPARK_GRAFT_STATE_CODEC", "zstd"
+        )
+        # Lineage cut for the parsed frame (driver fixed-cost discipline):
+        # every round builds ~15 consumer DataFrames over parse_round's
+        # ~1000-expression tree, and classic-PySpark Dataset construction
+        # re-ANALYZES the whole subtree JVM-side per call — measured
+        # 7-14 s/round of pure executor-independent driver CPU at the
+        # scaling corpora. Big rounds therefore write `parsed` to parquet
+        # ONCE and rebuild it as a trivial scan (one analysis of the big
+        # tree per round instead of ~15, and every per-table write job
+        # becomes a column-pruned parquet read). Small politeness rounds
+        # keep the in-memory cache path — the extra write round-trip costs
+        # more than the analyzer on a 10^3-row round. HUGE rounds (above
+        # the band) also keep the cache: there the parse job is minutes
+        # long, the ~10 s of driver analysis is noise, and the parquet
+        # round-trip + 12 re-reads of a multi-GB parsed frame measurably
+        # lose to the in-memory columnar cache (superstep profile: parse
+        # 273 s cached vs 459 s materialized at 4.5M rows / 8 cores).
+        self.parsed_materialize_min = int(
+            os.environ.get("SPARK_GRAFT_PARSED_MAT_MIN", parsed_materialize_min)
+        )
+        self.parsed_materialize_max = int(
+            os.environ.get("SPARK_GRAFT_PARSED_MAT_MAX", parsed_materialize_max)
         )
         # per-process plan caches (driver fixed-cost discipline)
         self._seed_arr = None
@@ -553,8 +580,23 @@ class CrawlEngine:
     # -- one BSP round ------------------------------------------------------
     def _seed_array_col(self):
         """The full link-discovery fan-out as one array<seed_struct> column
-        over parsed rows (see _SEED_ARR_DDL). Built once per engine (the
-        gates bake in engine-constant budgets) and reused every round."""
+        over parsed rows (see _SEED_ARR_DDL). Built once per PROCESS per
+        config (the gates bake in engine-constant budgets): the tree is
+        thousands of py4j Column calls (~5-9 s of driver wall), and Column
+        expressions are unresolved/source-free, so engines with the same
+        budget config share it safely across instances and rounds."""
+        cfg_key = (
+            self.enable_sub_comments, self.max_comments_per_note,
+            self.comment_page_size, self.max_search_pages,
+            self.crawl_creator_posts, self.max_creator_posts,
+            self.posts_page_size, self.crawl_contacts, self.max_contacts,
+            self.contacts_page_size, self.max_dynamics,
+            self.dynamics_page_size,
+        )
+        cached = _SEED_ARR_CACHE.get(cfg_key)
+        if cached is not None:
+            self._seed_arr = cached
+            return cached
         if getattr(self, "_seed_arr", None) is not None:
             return self._seed_arr
         c = F.col
@@ -848,6 +890,7 @@ class CrawlEngine:
             ))
 
         self._seed_arr = F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+        _SEED_ARR_CACHE[cfg_key] = self._seed_arr
         return self._seed_arr
 
     def _round(self, frontier: DataFrame, seen: DataFrame, round_id: int):
@@ -897,8 +940,32 @@ class CrawlEngine:
         parsed = X.parse_round(fetched, self.comment_order)
         if not colocated:
             parsed = parsed.repartition(n_shuffle)
-        parsed = parsed.persist()
-        self._round_cache = [scheduled, parsed]
+        if self.parsed_materialize_min <= n_scheduled < self.parsed_materialize_max:
+            # lineage cut (see __init__): the parse job runs HERE — the
+            # downstream consumers and the per-table write jobs all read
+            # the materialized scan. The dir is round-scoped intermediate
+            # state; run() deletes it once the round's delta write commits.
+            t_mat = time.time()
+            base = self.ckpt or self._scratch
+            p = os.path.join(base, f"round={round_id:05d}", "parsed")
+            # scratch codec, NOT state_codec: parsed is written once, read
+            # ~12 times and deleted within the round — encode CPU dominates
+            # bytes-at-rest here (A/B at the 11M-page corpus, 2 cores:
+            # zstd parsed write +50 s over snappy). Durable deltas keep
+            # state_codec (zstd) where bytes-at-rest matter.
+            parsed.write.mode("overwrite").option(
+                "compression", "snappy"
+            ).parquet(p)
+            schema = parsed.schema
+            parsed = self.spark.read.schema(schema).parquet(p)
+            self._parsed_path = p
+            self._t_parse_mat = time.time() - t_mat
+            self._round_cache = [scheduled]
+        else:
+            parsed = parsed.persist()
+            self._parsed_path = None
+            self._t_parse_mat = 0.0
+            self._round_cache = [scheduled, parsed]
         misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 
         rc = _round_cols()
@@ -1257,16 +1324,20 @@ class CrawlEngine:
                 tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
                 tables["seen"] = seen_delta
                 tables["frontier"] = frontier_next
-                t_build = time.time() - t0
+                # the parsed-materialization write job runs inside _round but
+                # is parse-phase work — attribute it there, not to build
+                t_build = time.time() - t0 - getattr(self, "_t_parse_mat", 0.0)
 
-                # Warm the round cache with ONE narrow pass (the parse
-                # compute) before the fan-out write: the per-table write jobs then
-                # all hit a populated cache instead of stampeding the same
-                # partitions.
+                # Cache path: warm the round cache with ONE narrow pass (the
+                # parse compute) before the fan-out write, so the per-table
+                # write jobs all hit a populated cache instead of stampeding
+                # the same partitions. Materialized path: the parse job
+                # already ran inside _round (the parsed write); this count is
+                # a single-column parquet scan.
                 t1 = time.time()
                 delta_n = seen_delta.count()
                 self._seen_count += delta_n
-                t_parse = time.time() - t1
+                t_parse = (time.time() - t1) + getattr(self, "_t_parse_mat", 0.0)
 
                 # one write transaction persists every round output (10 tables + seen
                 # delta + next frontier); its _SUCCESS marks the round done.
@@ -1296,6 +1367,12 @@ class CrawlEngine:
                         )
                 for df in getattr(self, "_round_cache", []):
                     df.unpersist()
+                # the materialized parsed frame is intra-round intermediate
+                # state — every durable consumer (deltas, seen, frontier)
+                # committed above, so reclaim the bytes before the next round
+                if getattr(self, "_parsed_path", None):
+                    shutil.rmtree(self._parsed_path, ignore_errors=True)
+                    self._parsed_path = None
                 if debug:
                     print(
                         f"[crawl r{r}] build={t_build:.2f}s "
