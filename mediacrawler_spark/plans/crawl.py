@@ -394,8 +394,6 @@ class CrawlEngine:
         broadcast_threshold: int = 3_000_000,
         fetch_join: str = "auto",  # auto | broadcast | colocated
         state_codec: str | None = None,  # intra-round state parquet codec
-        parsed_materialize_min: int = 20_000,  # lineage-cut band (rows)
-        parsed_materialize_max: int = 2_000_000,
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -447,28 +445,14 @@ class CrawlEngine:
         self.state_codec = state_codec or os.environ.get(
             "SPARK_GRAFT_STATE_CODEC", "zstd"
         )
-        # Lineage cut for the parsed frame (driver fixed-cost discipline):
-        # every round builds ~15 consumer DataFrames over parse_round's
-        # ~1000-expression tree, and classic-PySpark Dataset construction
-        # re-ANALYZES the whole subtree JVM-side per call — measured
-        # 7-14 s/round of pure executor-independent driver CPU at the
-        # scaling corpora. Big rounds therefore write `parsed` to parquet
-        # ONCE and rebuild it as a trivial scan (one analysis of the big
-        # tree per round instead of ~15, and every per-table write job
-        # becomes a column-pruned parquet read). Small politeness rounds
-        # keep the in-memory cache path — the extra write round-trip costs
-        # more than the analyzer on a 10^3-row round. HUGE rounds (above
-        # the band) also keep the cache: there the parse job is minutes
-        # long, the ~10 s of driver analysis is noise, and the parquet
-        # round-trip + 12 re-reads of a multi-GB parsed frame measurably
-        # lose to the in-memory columnar cache (superstep profile: parse
-        # 273 s cached vs 459 s materialized at 4.5M rows / 8 cores).
-        self.parsed_materialize_min = int(
-            os.environ.get("SPARK_GRAFT_PARSED_MAT_MIN", parsed_materialize_min)
-        )
-        self.parsed_materialize_max = int(
-            os.environ.get("SPARK_GRAFT_PARSED_MAT_MAX", parsed_materialize_max)
-        )
+        # NOTE a parquet lineage-cut of the parsed frame (write once, rebuild
+        # as a trivial scan so the ~15 consumer analyses stop re-walking the
+        # ~1000-expression parse tree) was built and measured as a NET LOSS
+        # at every round size — the per-table write analyses already run
+        # thread-parallel, so the cut only saves ~3-4 s/round of driver CPU
+        # while the encode+decode round-trip adds ~20 s/round of executor
+        # work at 8 cores (same-day A/B, 11M-page corpus; BENCH/ANALYSIS.md
+        # "parsed lineage cut" entry). The in-memory cache path stays.
         # per-process plan caches (driver fixed-cost discipline)
         self._seed_arr = None
         self._empty_cache: dict[str, DataFrame] = {}
@@ -940,32 +924,8 @@ class CrawlEngine:
         parsed = X.parse_round(fetched, self.comment_order)
         if not colocated:
             parsed = parsed.repartition(n_shuffle)
-        if self.parsed_materialize_min <= n_scheduled < self.parsed_materialize_max:
-            # lineage cut (see __init__): the parse job runs HERE — the
-            # downstream consumers and the per-table write jobs all read
-            # the materialized scan. The dir is round-scoped intermediate
-            # state; run() deletes it once the round's delta write commits.
-            t_mat = time.time()
-            base = self.ckpt or self._scratch
-            p = os.path.join(base, f"round={round_id:05d}", "parsed")
-            # scratch codec, NOT state_codec: parsed is written once, read
-            # ~12 times and deleted within the round — encode CPU dominates
-            # bytes-at-rest here (A/B at the 11M-page corpus, 2 cores:
-            # zstd parsed write +50 s over snappy). Durable deltas keep
-            # state_codec (zstd) where bytes-at-rest matter.
-            parsed.write.mode("overwrite").option(
-                "compression", "snappy"
-            ).parquet(p)
-            schema = parsed.schema
-            parsed = self.spark.read.schema(schema).parquet(p)
-            self._parsed_path = p
-            self._t_parse_mat = time.time() - t_mat
-            self._round_cache = [scheduled]
-        else:
-            parsed = parsed.persist()
-            self._parsed_path = None
-            self._t_parse_mat = 0.0
-            self._round_cache = [scheduled, parsed]
+        parsed = parsed.persist()
+        self._round_cache = [scheduled, parsed]
         misses = scheduled.join(parsed.select("url"), on="url", how="left_anti")
 
         rc = _round_cols()
@@ -1324,20 +1284,16 @@ class CrawlEngine:
                 tables["denied"] = tables["denied"].select(*_FRONTIER_COLS)
                 tables["seen"] = seen_delta
                 tables["frontier"] = frontier_next
-                # the parsed-materialization write job runs inside _round but
-                # is parse-phase work — attribute it there, not to build
-                t_build = time.time() - t0 - getattr(self, "_t_parse_mat", 0.0)
+                t_build = time.time() - t0
 
-                # Cache path: warm the round cache with ONE narrow pass (the
-                # parse compute) before the fan-out write, so the per-table
-                # write jobs all hit a populated cache instead of stampeding
-                # the same partitions. Materialized path: the parse job
-                # already ran inside _round (the parsed write); this count is
-                # a single-column parquet scan.
+                # Warm the round cache with ONE narrow pass (the parse
+                # compute) before the fan-out write: the per-table write jobs
+                # then all hit a populated cache instead of stampeding the
+                # same partitions.
                 t1 = time.time()
                 delta_n = seen_delta.count()
                 self._seen_count += delta_n
-                t_parse = (time.time() - t1) + getattr(self, "_t_parse_mat", 0.0)
+                t_parse = time.time() - t1
 
                 # one write transaction persists every round output (10 tables + seen
                 # delta + next frontier); its _SUCCESS marks the round done.
@@ -1367,12 +1323,6 @@ class CrawlEngine:
                         )
                 for df in getattr(self, "_round_cache", []):
                     df.unpersist()
-                # the materialized parsed frame is intra-round intermediate
-                # state — every durable consumer (deltas, seen, frontier)
-                # committed above, so reclaim the bytes before the next round
-                if getattr(self, "_parsed_path", None):
-                    shutil.rmtree(self._parsed_path, ignore_errors=True)
-                    self._parsed_path = None
                 if debug:
                     print(
                         f"[crawl r{r}] build={t_build:.2f}s "

@@ -46,29 +46,6 @@ def test_seen_set_equal(engine_result, sim_result):
     assert got == sim_result.seen
 
 
-def test_materialized_parsed_path_equivalent(spark, corpus, sim_result):
-    """Big-round code path (parsed lineage-cut to a per-round parquet scan,
-    forced via parsed_materialize_min=0) produces the identical seen set,
-    content rows and comment rows as the sequential simulator."""
-    pages, seeds, robots = corpus
-    eng = CrawlEngine(
-        spark, pages, robots, use_bloom=True, parsed_materialize_min=0
-    )
-    res = eng.run(seeds, max_rounds=25)
-    assert {r["url"] for r in res.seen.collect()} == sim_result.seen
-    got_content = {
-        (r["note_id"], r["ord_keyword"], r["ord_page"], r["ord_item_idx"], r["ord_cursor_seq"])
-        for r in res.content.collect()
-    }
-    assert got_content == sim_result.content
-    got_comments = {
-        (r["comment_id"], r["note_id"], r["parent_comment_id"], r["ord_cursor_seq"], r["ord_item_idx"])
-        for r in res.comments.collect()
-    }
-    assert got_comments == sim_result.comments
-    eng.clear_scratch()
-
-
 def test_denied_set_equal(engine_result, sim_result):
     got = {r["url"] for r in engine_result.denied.collect()}
     assert got == sim_result.denied

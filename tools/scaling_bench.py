@@ -162,7 +162,6 @@ def worker(cpus: int, amplify: int | None = None) -> None:
         weng = CrawlEngine(
             spark, pages, robots, use_bloom=False,
             fetch_join="colocated" if MODE == "superstep" else "broadcast",
-            parsed_materialize_min=0,  # compile the materialized-path plans too
         )
         weng.run(wseeds, max_rounds=1)
         weng.clear_scratch()
