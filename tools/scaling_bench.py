@@ -155,28 +155,33 @@ def worker(cpus: int, amplify: int | None = None) -> None:
     # cluster amortizes over long-running sessions — excluding it measures
     # the engine, not the JVM's first five seconds. Disable with
     # SPARK_GRAFT_BENCH_WARMUP=0 (raw cold-start numbers).
+    # superstep rounds are huge → co-located bucketed join (no driver
+    # serial broadcast); sandbox-size politeness rounds stay on broadcast.
+    # SPARK_GRAFT_FETCH_JOIN overrides (the big-rounds amortization-trend
+    # cell runs colocated — the shape `auto` picks once rounds outgrow the
+    # broadcast threshold, i.e. every politeness round at 10^10-URL scale).
+    fjoin = os.environ.get(
+        "SPARK_GRAFT_FETCH_JOIN",
+        "colocated" if MODE == "superstep" else "broadcast",
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1":
         wseeds = pages.filter(F.col("kind") == "content").select(
             "url", F.lit(0).alias("priority"), F.lit("kw").alias("keyword"),
         ).limit(2000)
-        weng = CrawlEngine(
-            spark, pages, robots, use_bloom=False,
-            fetch_join="colocated" if MODE == "superstep" else "broadcast",
-        )
+        weng = CrawlEngine(spark, pages, robots, use_bloom=False, fetch_join=fjoin)
         weng.run(wseeds, max_rounds=1)
         weng.clear_scratch()
 
     t0 = time.time()
     eng = CrawlEngine(
         spark, pages, robots, use_bloom=True, bloom_min_seen=50_000,
-        # superstep rounds are huge → co-located bucketed join (no driver
-        # serial broadcast); politeness rounds stay on broadcast
-        fetch_join="colocated" if MODE == "superstep" else "broadcast",
+        fetch_join=fjoin,
     )
     res = eng.run(seeds, max_rounds=max_rounds)
     urls = res.seen.count()
     comments = res.comments.count()
     wall = time.time() - t0
+    eng.clear_scratch()  # a 1024x rounds run leaves multi-GB round state
     print(json.dumps({
         "cpus": cpus,
         "mode": MODE,
