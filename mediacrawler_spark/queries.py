@@ -927,10 +927,102 @@ def q_zhihu_contents(spark, sf):  # S12/E3 — zhihu per-type dispatch + extract
     return Z.extract_zhihu_contents(synth_zhihu.build_zhihu_fixture_pages(_t(spark, sf, "documents")))
 
 
+# Independent re-derivation twin: the fixture pages are a deterministic
+# function of (doc_id, text), so the expected OUTPUT of the whole pipeline
+# (synth JSON envelope → from_json → per-type dispatch → byte-identical
+# kernel → author member-fallback) is recomputed here from the documents
+# table directly — no JSON, no kernel, no shared code with the engine. A
+# bug anywhere in synth_zhihu OR operators/zhihu would have to cancel
+# exactly against this SQL to pass the hash check.
+SQL_ZHIHU_CONTENTS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS did,
+         CAST(doc_id % 101 AS VARCHAR) AS k,
+         substring(regexp_replace(text, '["<>&\\]', '', 'g'), 1, 60) AS snippet,
+         doc_id % 3 AS t,
+         1735689600 + doc_id * 60 AS created,
+         (doc_id * 7) % 4000 AS votes,
+         doc_id % 300 AS ncom,
+         CAST(doc_id % 50 AS VARCHAR) AS qid
+  FROM documents
+)
+SELECT
+  CASE t WHEN 0 THEN 'https://www.zhihu.com/question/q' || qid || '/answer/a' || did
+         WHEN 1 THEN 'https://zhuanlan.zhihu.com/p/p' || did
+         ELSE 'https://www.zhihu.com/zvideo/z' || did END AS url,
+  CASE t WHEN 0 THEN 'answer' WHEN 1 THEN 'article' ELSE 'zvideo' END AS url_type,
+  (CASE t WHEN 0 THEN 'a' WHEN 1 THEN 'p' ELSE 'z' END) || did AS content_id,
+  CASE t WHEN 0 THEN 'answer' WHEN 1 THEN 'article' ELSE 'zvideo' END AS content_type,
+  CASE t WHEN 0 THEN trim('回答正文 ' || snippet)
+         WHEN 1 THEN trim('文章正文 ' || snippet)
+         ELSE '' END AS content_text,
+  CASE t WHEN 0 THEN 'q' || qid END AS question_id,
+  CASE t WHEN 0 THEN 'https://www.zhihu.com/question/q' || qid || '/answer/a' || did
+         WHEN 1 THEN 'https://zhuanlan.zhihu.com/p/p' || did
+         ELSE 'https://www.zhihu.com/zvideo/z' || did END AS content_url,
+  CASE t WHEN 0 THEN '问 标题' || did WHEN 1 THEN '文章题' || did
+         ELSE '视频' || did END AS title,
+  CASE t WHEN 0 THEN '摘要' || did WHEN 1 THEN '文摘' || did
+         ELSE trim('视频描述 ' || snippet) END AS "desc",
+  CAST(created AS BIGINT) AS created_time,
+  CAST(created + 30 AS BIGINT) AS updated_time,
+  CAST(votes AS INTEGER) AS voteup_count,
+  CAST(ncom AS INTEGER) AS comment_count,
+  'u' || k AS user_id,
+  'https://www.zhihu.com/people/tok' || k AS user_link,
+  '作者' || k AS user_nickname,
+  'https://pic.zhimg.com/av' || k || '.png' AS user_avatar,
+  'tok' || k AS user_url_token
+FROM d
+"""
+
+
 def q_tieba_search_notes(spark, sf):  # E2 — tieba search-list extractor (Arrow UDF)
     from mediacrawler_spark import synth_tieba
     from mediacrawler_spark.operators import tieba as T
     return T.extract_search_notes(synth_tieba.build_search_fixture_pages(_t(spark, sf, "documents")))
+
+
+# Independent re-derivation twin (see SQL_ZHIHU_CONTENTS note): the search
+# fixture page is a deterministic function of (doc_id, text), so the
+# expected output of html-build → regex-DOM block split → per-field regex
+# extraction is recomputed here from the documents table directly. Covers
+# both s_post blocks per page, the TIEBA_URL href joins, and the
+# .strip()ed desc/title fields.
+SQL_TIEBA_SEARCH_NOTES = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did,
+         't' || CAST(doc_id AS VARCHAR) AS tid,
+         '题目' || CAST(doc_id AS VARCHAR) AS title,
+         '作者' || CAST(doc_id % 101 AS VARCHAR) AS nick,
+         '吧' || CAST(doc_id % 5 AS VARCHAR) AS forum,
+         '2024-03-05 12:3' || CAST(doc_id % 10 AS VARCHAR) AS ts,
+         trim(substring(regexp_replace(text, '["<>&]', '', 'g'), 1, 40)) AS abstract
+  FROM documents
+)
+SELECT 'https://tieba.baidu.com/f/search/res?qw=q' || did AS url,
+       CAST(0 AS INTEGER) AS item_idx,
+       tid AS note_id, title, abstract AS "desc",
+       'https://tieba.baidu.com/p/' || tid AS note_url,
+       nick AS user_nickname,
+       'https://tieba.baidu.com/home/main?un=' || nick || '&id=' || tid AS user_link,
+       forum AS tieba_name,
+       'https://tieba.baidu.com/f?kw=' || forum AS tieba_link,
+       ts AS publish_time
+FROM d
+UNION ALL
+SELECT 'https://tieba.baidu.com/f/search/res?qw=q' || did,
+       CAST(1 AS INTEGER),
+       tid || 'b', title || '-b', trim('第二帖 ' || abstract),
+       'https://tieba.baidu.com/p/' || tid || 'b',
+       nick || '乙',
+       'https://tieba.baidu.com/home/main?un=' || nick || '乙&id=' || tid || 'b',
+       forum,
+       'https://tieba.baidu.com/f?kw=' || forum,
+       ts
+FROM d
+"""
 
 
 def q_tieba_comments(spark, sf):  # E2/E17 — tieba comment extractor + kernel + tail regexes
@@ -939,12 +1031,103 @@ def q_tieba_comments(spark, sf):  # E2/E17 — tieba comment extractor + kernel 
     return T.extract_parent_comments(synth_tieba.build_comments_fixture_pages(_t(spark, sf, "documents")))
 
 
+# Independent re-derivation twin for the parent-comment surface: covers the
+# data-field html.unescape→JSON path (note the double-escaped &amp;amp;
+# which must survive as a literal '&amp;' in the kernel output — the kernel
+# strips tags but does NOT unescape entities), the post-tail-wrap IP/pub
+# regexes (E17), and the note_id threading.
+SQL_TIEBA_COMMENTS = """
+WITH d AS (
+  SELECT doc_id,
+         't' || CAST(doc_id AS VARCHAR) AS tid,
+         '作者' || CAST(doc_id % 101 AS VARCHAR) AS nick,
+         'u' || CAST(doc_id % 101 AS VARCHAR) AS uid,
+         '吧' || CAST(doc_id % 5 AS VARCHAR) AS forum,
+         'f' || CAST(doc_id % 5 AS VARCHAR) AS fid,
+         '2024-03-05 12:3' || CAST(doc_id % 10 AS VARCHAR) AS ts,
+         CASE doc_id % 4 WHEN 0 THEN '北京' WHEN 1 THEN '上海'
+                         WHEN 2 THEN '广东' ELSE '浙江' END AS ip
+  FROM documents
+), items AS (
+  SELECT d.*, i FROM d CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) t
+)
+SELECT 'https://tieba.baidu.com/p/' || tid AS url,
+       CAST(i AS INTEGER) AS item_idx,
+       tid || 'p' || CAST(i AS VARCHAR) AS comment_id,
+       CAST((doc_id + i) % 4 AS INTEGER) AS sub_comment_count,
+       '回复 ' || nick || ' &amp; 内容' || CAST(i AS VARCHAR) || ' 链接' AS content,
+       'https://tieba.baidu.com/p/' || tid AS note_url,
+       'https://tieba.baidu.com/home/main?id=' || uid AS user_link,
+       nick AS user_nickname,
+       'https://img.example/' || uid || '.png' AS user_avatar,
+       fid AS tieba_id,
+       forum AS tieba_name,
+       'https://tieba.baidu.com/f?kw=' || forum AS tieba_link,
+       ip AS ip_location,
+       ts AS publish_time,
+       tid AS note_id
+FROM items
+"""
+
+
 def q_zhihu_comments(spark, sf):  # E3 comments — _extract_comment surface (zhihu/help.py:213-298)
     from mediacrawler_spark import synth_zhihu
     from mediacrawler_spark.operators import zhihu as Z
     return Z.extract_zhihu_comments(
         synth_zhihu.build_zhihu_comment_fixture_pages(_t(spark, sf, "documents"))
     )
+
+
+# Independent re-derivation twin (see SQL_ZHIHU_CONTENTS note). Covers the
+# P5 type filter (the sub_header row at item_idx 0 must be absent), the
+# kernel over comment html, the ip_info tag scan, like/dislike falsy
+# defaulting, and the author member fallback — all recomputed from the
+# documents table with no shared code.
+SQL_ZHIHU_COMMENTS = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS did,
+         substring(regexp_replace(text, '["<>&\\]', '', 'g'), 1, 40) AS snippet,
+         1735689600 + doc_id * 7 AS ts
+  FROM documents
+)
+SELECT 'https://www.zhihu.com/api/v4/comment_v5/answers/a' || did
+         || '/root_comment?limit=10&offset=' AS url,
+       CAST(1 AS INTEGER) AS item_idx,
+       'a' || did AS content_id, 'answer' AS content_type,
+       'zc' || did || 'a' AS comment_id,
+       CAST(NULL AS VARCHAR) AS parent_comment_id,
+       trim('评 ' || snippet) AS content,
+       CAST(ts AS BIGINT) AS publish_time,
+       'IP属地' || CAST(doc_id % 4 AS VARCHAR) AS ip_location,
+       CAST(2 AS INTEGER) AS sub_comment_count,
+       CAST(doc_id % 90 AS INTEGER) AS like_count,
+       CAST(1 AS INTEGER) AS dislike_count,
+       'u' || did AS user_id,
+       'https://www.zhihu.com/people/t' || did AS user_link,
+       '甲' || did AS user_nickname,
+       'https://pic.zhimg.com/a' || did || '.png' AS user_avatar,
+       't' || did AS user_url_token
+FROM d
+UNION ALL
+SELECT 'https://www.zhihu.com/api/v4/comment_v5/answers/a' || did
+         || '/root_comment?limit=10&offset=',
+       CAST(2 AS INTEGER),
+       'a' || did, 'answer',
+       'zc' || did || 'b',
+       'zc' || did || 'a',
+       '回 甲',
+       CAST(ts AS BIGINT),
+       '',
+       CAST(0 AS INTEGER),
+       CAST(0 AS INTEGER),
+       CAST(0 AS INTEGER),
+       'm' || did,
+       'https://www.zhihu.com/people/mt' || did,
+       '乙' || did,
+       'https://pic.zhimg.com/m' || did || '.png',
+       'mt' || did
+FROM d
+"""
 
 
 def q_crawl_tieba_slice(spark, sf):  # S6/S10 in-loop — tieba HTML crawl → TiebaNote rows
@@ -1029,6 +1212,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash_sigs_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_near_dups_md5": (q_simhash_pairs_md5, SQL_SIMHASH_PAIRS_MD5),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "zhihu_contents": (q_zhihu_contents, SQL_ZHIHU_CONTENTS),
+    "zhihu_comments": (q_zhihu_comments, SQL_ZHIHU_COMMENTS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),
@@ -1037,9 +1222,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_slice": (q_crawl_slice, None),
     "crawl_search_slice": (q_crawl_search_slice, None),
     "crawl_creator_graph": (q_crawl_creator_graph, None),
-    "tieba_search_notes": (q_tieba_search_notes, None),
-    "tieba_comments": (q_tieba_comments, None),
-    "zhihu_contents": (q_zhihu_contents, None),
-    "zhihu_comments": (q_zhihu_comments, None),
+    "tieba_search_notes": (q_tieba_search_notes, SQL_TIEBA_SEARCH_NOTES),
+    "tieba_comments": (q_tieba_comments, SQL_TIEBA_COMMENTS),
     "crawl_tieba_slice": (q_crawl_tieba_slice, None),
 }
