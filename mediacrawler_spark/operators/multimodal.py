@@ -75,3 +75,35 @@ def binary_features(pages: DataFrame, blob_col: str = "html") -> DataFrame:
             )
 
     return src.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+MD5_FEATURE_SCHEMA = "doc_id long, n_bytes long, md5 string, fake_width int, fake_height int"
+
+
+def binary_features_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Oracle-portable twin of :func:`binary_features`.
+
+    Same Arrow ``mapInPandas`` batch plumbing and decode-stub pattern
+    (dimensions derived from digest bytes), but over UTF-8 encoded text
+    blobs with md5 — every output column is re-derivable in ANSI SQL
+    (DuckDB ``strlen``/``md5``/hex-cast), so the pair hash-checks the
+    Python batch path end-to-end. The sha1+entropy variant above stays
+    the deployment surface; this twin exists to pin the plumbing.
+    """
+    src = docs.select(id_col, text_col).filter(f"{text_col} IS NOT NULL")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            digests = blobs.map(lambda b: hashlib.md5(b).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "md5": digests.map(bytes.hex),
+                    "fake_width": digests.map(lambda d: 64 + d[0] % 192).astype("int32"),
+                    "fake_height": digests.map(lambda d: 64 + d[1] % 192).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(_extract, MD5_FEATURE_SCHEMA)

@@ -894,6 +894,22 @@ def q_multimodal_features(spark, sf):  # multimodal binary plumbing (synth pages
     return binary_features(pages, "html")
 
 
+def q_multimodal_md5(spark, sf):  # oracle-portable mapInPandas twin (md5 decode stub)
+    from mediacrawler_spark.operators.multimodal import binary_features_md5
+    return binary_features_md5(_t(spark, sf, "documents"))
+
+
+SQL_MULTIMODAL_MD5 = """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS md5,
+       (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192) AS fake_width,
+       (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192) AS fake_height
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
 def q_extract_kernel(spark, sf):  # E1 — byte-identical text kernel over synth pages
     from mediacrawler_spark.functions.text import extract_text_udf
     from mediacrawler_spark.synth import build_content_pages
@@ -1214,6 +1230,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "zhihu_contents": (q_zhihu_contents, SQL_ZHIHU_CONTENTS),
     "zhihu_comments": (q_zhihu_comments, SQL_ZHIHU_COMMENTS),
+    "multimodal_features_md5": (q_multimodal_md5, SQL_MULTIMODAL_MD5),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),

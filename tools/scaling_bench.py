@@ -208,19 +208,32 @@ def orchestrate() -> None:
             for cpus in (CPUS_N, CPUS_4N):
                 env = dict(os.environ, SPARK_GRAFT_SCALE_MODE=mode,
                            SPARK_GRAFT_CRAWL_DEBUG="1")
+                # Heap-proportional protocol: on a real cluster each
+                # executor brings its own fixed memory, so total memory
+                # scales WITH executor count. SPARK_GRAFT_MEM_PER_CORE=2
+                # gives each level cores×2g of heap (4g@2c vs 16g@8c);
+                # unset keeps the legacy same-heap protocol (conservative:
+                # the N level gets 4× the per-core memory of the 4N level).
+                mpc = os.environ.get("SPARK_GRAFT_MEM_PER_CORE")
+                if mpc:
+                    env["SPARK_GRAFT_DRIVER_MEM"] = f"{cpus * int(mpc)}g"
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                     capture_output=True, text=True, timeout=3000, env=env,
                 )
                 line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
                 rec = json.loads(line)
+                rec["driver_mem"] = env.get("SPARK_GRAFT_DRIVER_MEM", "8g")
                 rec["phases"] = [ln for ln in p.stdout.splitlines() if ln.startswith("[crawl")]
                 runs[f"{mode}:{cpus}"].append(rec)
                 print(f"{mode} rep{rep} {line}")
                 os.makedirs("BENCH", exist_ok=True)
-                with open("BENCH/scaling_runs.json", "w") as f:
+                out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH/scaling_runs.json")
+                with open(out, "w") as f:
                     json.dump({"cpus_n": CPUS_N, "repeats": REPEATS,
-                               "cluster": CLUSTER_MODE, "runs": runs}, f, indent=1)
+                               "cluster": CLUSTER_MODE,
+                               "mem_per_core_g": os.environ.get("SPARK_GRAFT_MEM_PER_CORE"),
+                               "runs": runs}, f, indent=1)
 
     def med(mode: str, cpus: int):
         vals = sorted(r["urls_per_sec"] for r in runs[f"{mode}:{cpus}"])
