@@ -52,12 +52,28 @@ def stopword_hits_col(text: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
 
 
-def lang_id_col(text: Column, threshold: float = 0.08) -> Column:
-    """n-gram-free language heuristic: EN stopword density ≥ threshold → en."""
+CJK_CLASS = "[一-鿿]"
+
+
+def cjk_ratio_col(text: Column) -> Column:
+    """Fraction of characters in the CJK Unified Ideographs block."""
+    n = F.length(text).cast("double")
+    cjk = F.regexp_count(text, F.lit(CJK_CLASS)).cast("double")
+    return F.when(n > 0, cjk / n).otherwise(F.lit(0.0))
+
+
+def lang_id_col(text: Column, threshold: float = 0.08, cjk_threshold: float = 0.3) -> Column:
+    """Language heuristic: CJK char density ≥ 0.3 → zh (ideographs don't
+    tokenize on whitespace, so the stopword path can't see them); else EN
+    stopword density ≥ threshold → en; else unk."""
     n = token_count_col(text)
     hits = stopword_hits_col(text)
     ratio = F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+    return (
+        F.when(cjk_ratio_col(text) >= cjk_threshold, F.lit("zh"))
+        .when(ratio >= threshold, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
 
 
 def quality_score_col(text: Column) -> Column:
@@ -82,6 +98,38 @@ def fingerprint_col(text: Column) -> Column:
     text (portable: md5 is identical in Spark and the DuckDB oracle)."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
+
+    Hash every character ``k``-gram (md5 — byte-identical in Spark and the
+    DuckDB oracle), slide a window of ``w`` consecutive k-gram hashes, keep
+    each window's minimum, return the sorted distinct set per document.
+    Guarantees any shared substring of length ≥ k+w-1 contributes at least
+    one common fingerprint — the edit-position-robust near-dup primitive
+    exact/MinHash dedup lacks. All native expressions (sequence/transform/
+    slice/array_min): one narrow projection, no shuffle, no Python; at
+    100 TB this is a map-only stage feeding a fingerprint→docs explode+join.
+    """
+    from mediacrawler_spark.session import spread
+
+    documents = spread(documents, "doc_id")
+    t = F.col("text")
+    n_grams = F.length(t) - F.lit(k) + 1
+    kh = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.substring(t, i, k)),
+    )
+    docs = documents.filter(F.length(t) >= k + w - 1).select("doc_id", kh.alias("kh"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("kh")) - F.lit(w) + 1),
+        lambda j: F.array_min(F.slice(F.col("kh"), j, w)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
 
 
 def document_profile(documents: DataFrame) -> DataFrame:

@@ -549,7 +549,10 @@ SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(bpe_pieces AS BIGINT) AS bpe_pieces,
        CAST(stop_hits AS BIGINT) AS stop_hits,
-       CASE WHEN n_tokens > 0 AND stop_hits::DOUBLE / n_tokens >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred,
+       CASE WHEN n_chars_actual > 0
+                 AND len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE / n_chars_actual >= 0.3 THEN 'zh'
+            WHEN n_tokens > 0 AND stop_hits::DOUBLE / n_tokens >= 0.08 THEN 'en'
+            ELSE 'unk' END AS lang_pred,
        round(
          0.4 * least(n_chars_actual / 200.0, 1.0)
          + 0.4 * least((CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END) / 0.1, 1.0)
@@ -557,6 +560,22 @@ SELECT doc_id,
                        THEN 1.0 ELSE 0.0 END), 6) AS quality,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM feat
+"""
+
+
+def q_winnow_fingerprints(spark, sf):  # winnowing (rolling k-gram hash) fingerprints
+    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH g AS (
+  SELECT doc_id,
+         [md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 8 + 2)] AS kh
+  FROM documents WHERE length(text) >= 8 + 4 - 1
+)
+SELECT doc_id,
+       list_sort(list_distinct([list_min(kh[j:j+3]) FOR j IN range(1, len(kh) - 4 + 2)])) AS fingerprints
+FROM g
 """
 
 
@@ -1231,6 +1250,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zhihu_contents": (q_zhihu_contents, SQL_ZHIHU_CONTENTS),
     "zhihu_comments": (q_zhihu_comments, SQL_ZHIHU_COMMENTS),
     "multimodal_features_md5": (q_multimodal_md5, SQL_MULTIMODAL_MD5),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),

@@ -82,5 +82,34 @@ def test_multimodal_features_deterministic(spark, documents):
 def test_document_profile_langs(spark, documents):
     prof = document_profile(documents)
     langs = {r["lang_pred"] for r in prof.select("lang_pred").distinct().collect()}
-    assert langs <= {"en", "unk"}
+    assert langs <= {"en", "zh", "unk"}
     assert prof.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_lang_id_detects_cjk(spark):
+    from mediacrawler_spark.operators.textstats import lang_id_col
+
+    rows = [
+        ("全部都是中文字符的一段文本内容测试",),  # pure CJK → zh
+        ("the quick brown fox is on the mat and in the box of the end",),  # en
+        ("xyzzy qwerty plugh",),  # neither → unk
+    ]
+    df = spark.createDataFrame(rows, ["text"]).select(lang_id_col(F.col("text")).alias("lang"))
+    assert [r["lang"] for r in df.collect()] == ["zh", "en", "unk"]
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a substring of length ≥ k+w-1
+    (here 11) must share ≥1 fingerprint; disjoint docs share none."""
+    from mediacrawler_spark.operators.textstats import winnow_fingerprints
+
+    shared = "ABCDEFGHIJK"  # length 11 = k+w-1
+    rows = [
+        (1, "xx" + shared + "yyyyyy"),
+        (2, "qqqq" + shared + "zz"),
+        (3, "0123456789012345678901234"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df).collect()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
