@@ -100,7 +100,7 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(norm)
 
 
-def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+def winnow_fingerprints(documents: DataFrame, k: int = 20, w: int = 8) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
 
     Hash every character ``k``-gram (md5 — byte-identical in Spark and the
@@ -129,6 +129,42 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 4) -> DataFra
     return docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
+
+
+def winnow_near_dups(
+    documents: DataFrame, k: int = 20, w: int = 8, min_shared: int = 4,
+    max_fp_bucket: int | None = 64,
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` winnowing fingerprints (a<b).
+
+    The rolling-hash near-dup path: explode fingerprints → self-join on the
+    fingerprint key → count per pair. ``max_fp_bucket`` is the same
+    frequency cutoff the LSH path uses — a fingerprint held by n docs
+    yields n² self-join rows, and boilerplate fingerprints hold millions
+    at corpus scale, so hot keys are dropped before the join (near-dups
+    share many selective fingerprints). One shuffle on the fingerprint
+    key, one on the pair key; partial aggregation keeps both map-side
+    combined.
+    """
+    fp = winnow_fingerprints(documents, k, w).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    fp = fp.persist()
+    if max_fp_bucket is not None:
+        ok = (
+            fp.groupBy("fp").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_fp_bucket)
+            .select("fp")
+        )
+        fp = fp.join(ok, on="fp", how="left_semi")
+    left, right = fp.alias("l"), fp.alias("r")
+    return (
+        left.join(right, on="fp")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -564,18 +564,42 @@ FROM feat
 
 
 def q_winnow_fingerprints(spark, sf):  # winnowing (rolling k-gram hash) fingerprints
-    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=8, w=4)
+    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=20, w=8)
 
 
 SQL_WINNOW_FINGERPRINTS = """
 WITH g AS (
   SELECT doc_id,
-         [md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 8 + 2)] AS kh
-  FROM documents WHERE length(text) >= 8 + 4 - 1
+         [md5(substr(text, i, 20)) FOR i IN range(1, length(text) - 20 + 2)] AS kh
+  FROM documents WHERE length(text) >= 20 + 8 - 1
 )
 SELECT doc_id,
-       list_sort(list_distinct([list_min(kh[j:j+3]) FOR j IN range(1, len(kh) - 4 + 2)])) AS fingerprints
+       list_sort(list_distinct([list_min(kh[j:j+7]) FOR j IN range(1, len(kh) - 8 + 2)])) AS fingerprints
 FROM g
+"""
+
+
+def q_winnow_near_dups(spark, sf):  # rolling-hash near-dup pairs over winnow fps
+    return textstats.winnow_near_dups(_t(spark, sf, "documents"), k=20, w=8, min_shared=4)
+
+
+SQL_WINNOW_NEAR_DUPS = """
+WITH g AS (
+  SELECT doc_id,
+         [md5(substr(text, i, 20)) FOR i IN range(1, length(text) - 20 + 2)] AS kh
+  FROM documents WHERE length(text) >= 20 + 8 - 1
+), fp0 AS (
+  SELECT doc_id, unnest(
+    list_distinct([list_min(kh[j:j+7]) FOR j IN range(1, len(kh) - 8 + 2)])
+  ) AS fp FROM g
+), ok AS (
+  SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 64
+), fp AS (
+  SELECT fp0.* FROM fp0 SEMI JOIN ok ON fp0.fp = ok.fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 4
 """
 
 
@@ -1251,6 +1275,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zhihu_comments": (q_zhihu_comments, SQL_ZHIHU_COMMENTS),
     "multimodal_features_md5": (q_multimodal_md5, SQL_MULTIMODAL_MD5),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_near_dups": (q_winnow_near_dups, SQL_WINNOW_NEAR_DUPS),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),

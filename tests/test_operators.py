@@ -100,14 +100,14 @@ def test_lang_id_detects_cjk(spark):
 
 def test_winnow_guarantee_shared_substring(spark):
     """Winnowing guarantee: docs sharing a substring of length ≥ k+w-1
-    (here 11) must share ≥1 fingerprint; disjoint docs share none."""
+    (here 27) must share ≥1 fingerprint; disjoint docs share none."""
     from mediacrawler_spark.operators.textstats import winnow_fingerprints
 
-    shared = "ABCDEFGHIJK"  # length 11 = k+w-1
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ!"  # length 27 = k+w-1
     rows = [
         (1, "xx" + shared + "yyyyyy"),
         (2, "qqqq" + shared + "zz"),
-        (3, "0123456789012345678901234"),
+        (3, "0123456789012345678901234567890123"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df).collect()}
