@@ -77,6 +77,91 @@ def binary_features(pages: DataFrame, blob_col: str = "html") -> DataFrame:
     return src.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "url string, width int, height int, resized binary"
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  blob_col: str = "html") -> DataFrame:
+    """Image-resize stage: (url, blob) → (url, width, height, resized blob).
+
+    The pixel transform is the documented container stub (PIL absent):
+    a deterministic digest-expanded payload of exactly ``width*height*3``
+    bytes, so output size, schema, batch shape and memory envelope match
+    a real RGB resize — swapping in PIL changes only ``_fake_resize``.
+    Arrow-batched, column-pruned; at 100 TB the input projection keeps
+    every non-blob column out of the Python worker.
+    """
+    target = width * height * 3
+
+    def _fake_resize(blob: bytes) -> bytes:
+        if blob is None:
+            raise NotImplementedError("real image decode requires PIL (not in container)")
+        seed = hashlib.sha1(blob).digest()
+        reps = target // len(seed) + 1
+        return (seed * reps)[:target]
+
+    src = media.select("url", blob_col)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "resized": blobs.map(lambda b: _fake_resize(b) if b is not None else None),
+                }
+            )
+
+    return src.mapInPandas(_run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "url string, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(media: DataFrame, fps_ms: int = 1000, blob_col: str = "html") -> DataFrame:
+    """Video frame-sampling stage: one input row → N frame rows.
+
+    Demonstrates the 1→N ``mapInPandas`` shape a real ffmpeg frame
+    sampler needs (each yielded batch may hold multiple rows per input
+    video). Frame count and bytes are the deterministic container stub:
+    ``1 + n_bytes % 7`` frames, each a digest-derived 16-byte payload at
+    ``fps_ms`` intervals; a real deployment replaces ``_fake_frames``
+    with an ffmpeg pipe and nothing else changes.
+    """
+    src = media.select("url", blob_col)
+
+    def _fake_frames(blob: bytes) -> list[bytes]:
+        n = 1 + len(blob) % 7
+        return [hashlib.sha1(blob + bytes([i])).digest()[:16] for i in range(n)]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            idxs: list[int] = []
+            ts: list[int] = []
+            frames: list[bytes] = []
+            for url, blob in zip(pdf["url"], pdf[blob_col]):
+                if blob is None:
+                    continue
+                for i, fr in enumerate(_fake_frames(blob)):
+                    urls.append(url)
+                    idxs.append(i)
+                    ts.append(i * fps_ms)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(ts, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return src.mapInPandas(_run, FRAME_SCHEMA)
+
+
 MD5_FEATURE_SCHEMA = "doc_id long, n_bytes long, md5 string, fake_width int, fake_height int"
 
 

@@ -937,6 +937,20 @@ def q_multimodal_features(spark, sf):  # multimodal binary plumbing (synth pages
     return binary_features(pages, "html")
 
 
+def q_multimodal_resize(spark, sf):  # image-resize stage (stubbed decode, real plumbing)
+    from mediacrawler_spark.operators.multimodal import resize_images
+    from mediacrawler_spark.synth import build_content_pages
+    pages = build_content_pages(_t(spark, sf, "documents")).limit(100)
+    return resize_images(pages, width=8, height=8)
+
+
+def q_multimodal_frames(spark, sf):  # video frame-sampling stage (1→N mapInPandas)
+    from mediacrawler_spark.operators.multimodal import sample_frames
+    from mediacrawler_spark.synth import build_content_pages
+    pages = build_content_pages(_t(spark, sf, "documents")).limit(100)
+    return sample_frames(pages)
+
+
 def q_multimodal_md5(spark, sf):  # oracle-portable mapInPandas twin (md5 decode stub)
     from mediacrawler_spark.operators.multimodal import binary_features_md5
     return binary_features_md5(_t(spark, sf, "documents"))
@@ -1280,6 +1294,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_frames": (q_multimodal_frames, None),
     "extract_kernel": (q_extract_kernel, None),
     "crawl_slice": (q_crawl_slice, None),
     "crawl_search_slice": (q_crawl_search_slice, None),

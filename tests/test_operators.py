@@ -79,6 +79,35 @@ def test_multimodal_features_deterministic(spark, documents):
         assert 64 <= r["fake_width"] < 256
 
 
+def test_multimodal_resize_shape_and_determinism(spark, documents):
+    from mediacrawler_spark.synth import build_content_pages
+
+    pages = build_content_pages(documents.limit(20))
+    a = multimodal.resize_images(pages, width=8, height=8).orderBy("url").collect()
+    b = multimodal.resize_images(pages, width=8, height=8).orderBy("url").collect()
+    assert a == b and len(a) == 20
+    for r in a:
+        assert len(r["resized"]) == 8 * 8 * 3
+        assert r["width"] == 8 and r["height"] == 8
+
+
+def test_multimodal_sample_frames_one_to_n(spark, documents):
+    from mediacrawler_spark.synth import build_content_pages
+
+    pages = build_content_pages(documents.limit(20))
+    frames = multimodal.sample_frames(pages, fps_ms=40).collect()
+    by_url = {}
+    for r in frames:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url) == 20
+    for rows in by_url.values():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert 1 <= len(rows) <= 7
+        assert [r["frame_idx"] for r in rows] == list(range(len(rows)))
+        assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in rows)
+        assert all(len(r["frame"]) == 16 for r in rows)
+
+
 def test_document_profile_langs(spark, documents):
     prof = document_profile(documents)
     langs = {r["lang_pred"] for r in prof.select("lang_pred").distinct().collect()}
