@@ -221,8 +221,17 @@ def orchestrate() -> None:
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
                     capture_output=True, text=True, timeout=3000, env=env,
                 )
-                line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-                rec = json.loads(line)
+                json_lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+                if not json_lines:
+                    # Worker died (OOM etc.) — record the failure and keep
+                    # the matrix going; a dead cell must not eat the run.
+                    rec = {"cpus": cpus, "mode": mode, "failed": True,
+                           "returncode": p.returncode,
+                           "stderr_tail": p.stderr[-2000:]}
+                    runs[f"{mode}:{cpus}"].append(rec)
+                    print(f"{mode} rep{rep} cpus={cpus} FAILED rc={p.returncode}")
+                    continue
+                rec = json.loads(json_lines[-1])
                 rec["driver_mem"] = env.get("SPARK_GRAFT_DRIVER_MEM", "8g")
                 rec["phases"] = [ln for ln in p.stdout.splitlines() if ln.startswith("[crawl")]
                 runs[f"{mode}:{cpus}"].append(rec)
@@ -236,12 +245,15 @@ def orchestrate() -> None:
                                "runs": runs}, f, indent=1)
 
     def med(mode: str, cpus: int):
-        vals = sorted(r["urls_per_sec"] for r in runs[f"{mode}:{cpus}"])
-        return vals[len(vals) // 2]
+        vals = sorted(r["urls_per_sec"] for r in runs[f"{mode}:{cpus}"] if not r.get("failed"))
+        return vals[len(vals) // 2] if vals else None
 
     for m in modes:
-        eff = med(m, CPUS_4N) / (4 * med(m, CPUS_N))
-        print(f"efficiency {m}: N={med(m, CPUS_N)} 4N={med(m, CPUS_4N)} eff={eff:.3f}")
+        lo, hi = med(m, CPUS_N), med(m, CPUS_4N)
+        if lo and hi:
+            print(f"efficiency {m}: N={lo} 4N={hi} eff={hi / (4 * lo):.3f}")
+        else:
+            print(f"efficiency {m}: incomplete (N={lo} 4N={hi})")
 
 
 if __name__ == "__main__":
