@@ -11,7 +11,8 @@ run() {
   SPARK_GRAFT_SCALE_MODE=$mode SPARK_GRAFT_AMPLIFY_ROUNDS=$amp_rounds \
   SPARK_GRAFT_DRIVER_MEM=16g SPARK_GRAFT_CRAWL_DEBUG=1 \
   python tools/scaling_bench.py --worker 8 > /tmp/cell_$tag.log 2>&1
-  grep -a '^{' /tmp/cell_$tag.log | tail -1 | sed "s/^{/{\"tag\": \"$tag\", /" >> $out
+  # stage-progress \r fragments share the JSON's physical line: split first
+  tr '\r' '\n' < /tmp/cell_$tag.log | grep -a '^{' | tail -1 | sed "s/^{/{\"tag\": \"$tag\", /" >> $out
   grep -a '^\[crawl' /tmp/cell_$tag.log | sed "s/^/[$tag] /" >> /tmp/cells_16g_phases.log
   echo "done $tag"
 }
