@@ -173,6 +173,82 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, n_centroids:
     )
 
 
+def rh_planes(n_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic random-hyperplane components in [-1, 1].
+
+    ``h[i][j] = (md5("rh:i:j")[:4] % 2001 - 1000) / 1000`` — published
+    constants, identical decimal literals inlined into both the Spark
+    expressions and the DuckDB oracle SQL (the EN_STOPWORDS pattern), so
+    the pair shares data, not code.
+    """
+    import hashlib
+
+    return [
+        [
+            (int.from_bytes(hashlib.md5(f"rh:{i}:{j}".encode()).digest()[:4], "big") % 2001 - 1000)
+            / 1000.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def _rh_dot_expr(plane: list[float]) -> str:
+    arr = ", ".join(f"{x}D" for x in plane)
+    return (
+        f"aggregate(zip_with(embedding, array({arr}), (x, y) -> cast(x as double) * y), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def rh_bucket_col(n_planes: int = 6) -> Column:
+    """Random-hyperplane LSH signature of the ``embedding`` column.
+
+    bit i = [dot(v, h_i) ≥ 0]: nearby vectors (small angle) agree on most
+    hyperplane sides, so they land in the same bucket with probability
+    (1 - θ/π)^planes — the classic SimHash-for-embeddings scheme. All
+    native expressions; at 10^10 vectors the signature (with more planes,
+    or several independent plane sets multi-probed) is a partition key:
+    the probe reads one bucket, not the corpus. 6 planes ≈ 64 buckets —
+    sized to the synthetic corpus so buckets hold ~n/64 candidates.
+    """
+    bits = [
+        F.when(F.expr(_rh_dot_expr(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(rh_planes(n_planes))
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def assign_rh_buckets(embeddings: DataFrame, n_planes: int = 6) -> DataFrame:
+    """LSH-bucketed ANN build side: (vec_id, bucket signature). One narrow
+    map-only pass — no shuffle at all (vs IVF's argmax aggregate)."""
+    return embeddings.select(
+        "vec_id", "label", "embedding", rh_bucket_col(n_planes).alias("bucket")
+    )
+
+
+def rh_lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket."""
+    bucketed = assign_rh_buckets(embeddings, n_planes)
+    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    probe = bucketed.crossJoin(F.broadcast(q)).filter(
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != query_vec_id)
+    )
+    return (
+        probe.select(
+            "vec_id", "label",
+            cosine_col(F.col("embedding"), F.col("q_emb")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95, n_centroids: int = 8) -> DataFrame:
     """Near-dup vector pairs (cosine ≥ threshold) within IVF buckets."""
     b = assign_ivf_buckets(embeddings, n_centroids).select("vec_id", "embedding", "bucket")

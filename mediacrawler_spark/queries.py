@@ -690,6 +690,49 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def _rh_sql_bucket_expr() -> str:
+    """DuckDB bucket expression from the same published hyperplane
+    constants as ``similarity.rh_planes`` — shared data, not code."""
+    parts = []
+    for i, plane in enumerate(similarity.rh_planes(6)):
+        arr = ", ".join(repr(x) for x in plane)
+        dot = f"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ([{arr}])[i]))"
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def q_rh_lsh_buckets(spark, sf):  # similarity — random-hyperplane LSH signatures
+    e = _t(spark, sf, "embeddings")
+    return similarity.assign_rh_buckets(e).select("vec_id", "bucket")
+
+
+SQL_RH_LSH_BUCKETS = f"""
+SELECT vec_id, {_rh_sql_bucket_expr()} AS bucket
+FROM embeddings
+"""
+
+
+def q_rh_lsh_ann(spark, sf):  # similarity — LSH-bucketed approximate top-k
+    e = _t(spark, sf, "embeddings")
+    return similarity.rh_lsh_topk(e, query_vec_id=0, k=10).select(
+        "vec_id", "label", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_RH_LSH_ANN = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_rh_sql_bucket_expr()} AS bucket FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS cosine
+FROM b, q WHERE bucket = qb AND vec_id != 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_ivf_buckets(spark, sf):  # similarity — IVF bucket assignment (scale path)
     e = _t(spark, sf, "embeddings")
     return similarity.assign_ivf_buckets(e, n_centroids=8).select("vec_id", "bucket")
@@ -1279,6 +1322,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN_BRUTEFORCE),
     "ivf_buckets": (q_ivf_buckets, SQL_IVF_BUCKETS),
+    "rh_lsh_buckets": (q_rh_lsh_buckets, SQL_RH_LSH_BUCKETS),
+    "rh_lsh_ann": (q_rh_lsh_ann, SQL_RH_LSH_ANN),
     "ivf_kmeans_buckets": (q_ivf_kmeans_buckets, SQL_IVF_KMEANS_BUCKETS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "lsh_candidate_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),

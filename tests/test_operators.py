@@ -66,6 +66,21 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(bf & ivf) > 0
 
 
+def test_rh_lsh_buckets_and_recall(spark, sf_dir):
+    """LSH-bucketed ANN: buckets spread (not one mega-bucket), the probe
+    returns rows, and identical vectors collide (the LSH invariant)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = similarity.assign_rh_buckets(e)
+    n_buckets = b.select("bucket").distinct().count()
+    assert n_buckets > 16  # 6 planes → up to 64; degenerate collapse would fail
+    assert len(similarity.rh_lsh_topk(e, 0, 10).collect()) > 0
+    # identical vector ⇒ identical signature (the LSH invariant)
+    clone = e.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(900000))
+    bb = similarity.assign_rh_buckets(e.unionByName(clone))
+    got = {r["vec_id"]: r["bucket"] for r in bb.filter(F.col("vec_id").isin(0, 900000)).collect()}
+    assert got[0] == got[900000]
+
+
 def test_multimodal_features_deterministic(spark, documents):
     from mediacrawler_spark.synth import build_content_pages
 
