@@ -100,6 +100,68 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(norm)
 
 
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Gopher-style document quality flags (Rae et al. 2021, §A1.1 subset).
+
+    The published repetition/boilerplate heuristics that are exactly
+    expressible as deterministic column algebra (each mirrored in the SQL
+    oracle; thresholds are the paper's):
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: ("#" or "…") per word ≤ 0.1
+    - ``ok_bullet_ratio``: ≤ 90% of lines start with a bullet
+    - ``ok_ellipsis_ratio``: ≤ 30% of lines end with "…"
+    - ``ok_alpha_ratio``: ≥ 80% of words contain an [A-Za-z] char
+      (portable proxy for the paper's "alphabetic character" test)
+    - ``ok_stopwords``: ≥ 2 distinct common stopwords present
+    - ``keep``: conjunction of all flags
+
+    One narrow map-only projection — no shuffle, no Python; composes with
+    the dedup battery as the pre-dedup quality gate of a curation run.
+    """
+    from mediacrawler_spark.session import spread
+
+    documents = spread(documents, "doc_id")
+    t = F.col("text")
+    words = tokens_col(t)
+    n_words = F.size(words).cast("double")
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines).cast("double")
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0), lambda a, x: a + x,
+        ) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (F.length(t) - F.length(F.regexp_replace(t, r"[#…]", ""))).cast("double")
+    bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("double")
+    ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"…$"))).cast("double")
+    alpha = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))).cast("double")
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(F.transform(words, F.lower)), stop)
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_symbol_ratio": F.when(n_words > 0, n_symbols / n_words <= 0.1).otherwise(F.lit(False)),
+        "ok_bullet_ratio": F.when(n_lines > 0, bullets / n_lines <= 0.9).otherwise(F.lit(True)),
+        "ok_ellipsis_ratio": F.when(n_lines > 0, ellipsis / n_lines <= 0.3).otherwise(F.lit(True)),
+        "ok_alpha_ratio": F.when(n_words > 0, alpha / n_words >= 0.8).otherwise(F.lit(False)),
+        "ok_stopwords": n_stop_distinct >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return documents.select(
+        "doc_id",
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def winnow_fingerprints(documents: DataFrame, k: int = 20, w: int = 8) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS).
 

@@ -563,6 +563,47 @@ FROM feat
 """
 
 
+def q_gopher_quality(spark, sf):  # Gopher-style quality filter flags
+    return textstats.gopher_quality_flags(_t(spark, sf, "documents"))
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS words,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(words)::DOUBLE AS n_words,
+         len(lines)::DOUBLE AS n_lines,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, w -> length(w)::DOUBLE)) / len(words)
+              ELSE 0.0 END AS mean_len,
+         (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::DOUBLE AS n_symbols,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE AS bullets,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '…$')))::DOUBLE AS ellipsis,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha,
+         len(list_intersect(list_distinct(words), ['the','a','of','and','to','in','is','on','for','with'])) AS n_stop
+  FROM base
+), flags AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+         (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+         (CASE WHEN n_words > 0 THEN n_symbols / n_words <= 0.1 ELSE FALSE END) AS ok_symbol_ratio,
+         (CASE WHEN n_lines > 0 THEN bullets / n_lines <= 0.9 ELSE TRUE END) AS ok_bullet_ratio,
+         (CASE WHEN n_lines > 0 THEN ellipsis / n_lines <= 0.3 ELSE TRUE END) AS ok_ellipsis_ratio,
+         (CASE WHEN n_words > 0 THEN alpha / n_words >= 0.8 ELSE FALSE END) AS ok_alpha_ratio,
+         (n_stop >= 2) AS ok_stopwords
+  FROM feat
+)
+SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullet_ratio,
+       ok_ellipsis_ratio, ok_alpha_ratio, ok_stopwords,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_ratio
+        AND ok_ellipsis_ratio AND ok_alpha_ratio AND ok_stopwords) AS keep
+FROM flags
+"""
+
+
 def q_winnow_fingerprints(spark, sf):  # winnowing (rolling k-gram hash) fingerprints
     return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=20, w=8)
 
@@ -1335,6 +1376,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features_md5": (q_multimodal_md5, SQL_MULTIMODAL_MD5),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_near_dups": (q_winnow_near_dups, SQL_WINNOW_NEAR_DUPS),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     # rows-only (no portable oracle):
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),

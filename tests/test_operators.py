@@ -142,6 +142,21 @@ def test_lang_id_detects_cjk(spark):
     assert [r["lang"] for r in df.collect()] == ["zh", "en", "unk"]
 
 
+def test_gopher_quality_flags_discriminate(spark, documents):
+    from mediacrawler_spark.operators.textstats import gopher_quality_flags
+
+    flags = gopher_quality_flags(documents)
+    keep = {r["keep"] for r in flags.select("keep").distinct().collect()}
+    assert keep == {True, False}  # the gate must actually split the corpus
+    # a synthetic spam doc fails, a normal English paragraph passes
+    spam = " ".join(["###"] * 60)
+    good = ("the quick brown fox jumps over the lazy dog and runs to the field "
+            "of green grass with a friend on a warm day in the sun ") * 3
+    df = spark.createDataFrame([(1, spam), (2, good)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["keep"] for r in gopher_quality_flags(df).collect()}
+    assert got == {1: False, 2: True}
+
+
 def test_winnow_guarantee_shared_substring(spark):
     """Winnowing guarantee: docs sharing a substring of length ≥ k+w-1
     (here 27) must share ≥1 fingerprint; disjoint docs share none."""
