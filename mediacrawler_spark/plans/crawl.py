@@ -1246,10 +1246,17 @@ class CrawlEngine:
             self._scratch = None
             base = self.ckpt
         else:
+            import atexit
             import tempfile
 
             self._scratch = tempfile.mkdtemp(prefix="crawl_state_")
             base = self._scratch
+            # Self-created scratch (no checkpoint_dir → no resume contract)
+            # is reclaimed at interpreter exit even if the caller never
+            # calls clear_scratch — keeps test/bench runs from littering
+            # /tmp. Explicit clear_scratch still works (rmtree is a no-op
+            # on a missing dir).
+            atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
         round_dirs = sorted(d for d in os.listdir(base) if d.startswith("round="))
         if resume and self.ckpt:
