@@ -137,7 +137,9 @@ def lsh_candidate_pairs(
     # single most expensive stage of the pipeline. The table is narrow
     # (doc_id + 2 short keys); at cluster scale this is the natural
     # materialization point (checkpoint/Iceberg table between stages).
-    bands = bands.persist()
+    from mediacrawler_spark.session import persist_tracked
+
+    bands = persist_tracked(bands)
     if max_band_bucket is not None:
         ok = (
             bands.groupBy("band", "key")
@@ -239,9 +241,11 @@ def minhash_near_dups(
     # the candidate-pair list is read three times by the hashed verify
     # (doc_a ∪ doc_b prefilter + the pair join itself) — cache it so the
     # LSH pipeline runs once
-    pairs = lsh_candidate_pairs(
+    from mediacrawler_spark.session import persist_tracked
+
+    pairs = persist_tracked(lsh_candidate_pairs(
         documents, n_hashes, band_size, shingle_n, max_band_bucket, hash_fn=hash_fn
-    ).persist()
+    ))
     return jaccard_verify_hashed(documents, pairs, shingle_n).filter(
         F.col("jaccard") >= threshold
     )

@@ -209,10 +209,12 @@ def winnow_near_dups(
     key, one on the pair key; partial aggregation keeps both map-side
     combined.
     """
+    from mediacrawler_spark.session import persist_tracked
+
     fp = winnow_fingerprints(documents, k, w).select(
         "doc_id", F.explode("fingerprints").alias("fp")
     )
-    fp = fp.persist()
+    fp = persist_tracked(fp)
     if max_fp_bucket is not None:
         ok = (
             fp.groupBy("fp").agg(F.count("*").alias("_n"))

@@ -605,7 +605,14 @@ FROM flags
 
 
 def q_winnow_fingerprints(spark, sf):  # winnowing (rolling k-gram hash) fingerprints
-    return textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=20, w=8)
+    # Exploded to scalar (doc_id, fingerprint) rows: the driver's
+    # canonicalizer sorts raw object columns, and an array<string> cell
+    # crashes pandas' sort (unhashable list) — scalar rows are gate-safe
+    # and are exactly the shape the near-dup join consumes anyway.
+    return (
+        textstats.winnow_fingerprints(_t(spark, sf, "documents"), k=20, w=8)
+        .select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+    )
 
 
 SQL_WINNOW_FINGERPRINTS = """
@@ -615,7 +622,7 @@ WITH g AS (
   FROM documents WHERE length(text) >= 20 + 8 - 1
 )
 SELECT doc_id,
-       list_sort(list_distinct([list_min(kh[j:j+7]) FOR j IN range(1, len(kh) - 8 + 2)])) AS fingerprints
+       unnest(list_distinct([list_min(kh[j:j+7]) FOR j IN range(1, len(kh) - 8 + 2)])) AS fingerprint
 FROM g
 """
 
@@ -763,14 +770,18 @@ def q_rh_lsh_ann(spark, sf):  # similarity — LSH-bucketed approximate top-k
 SQL_RH_LSH_ANN = f"""
 WITH b AS (
   SELECT vec_id, label, embedding, {_rh_sql_bucket_expr()} AS bucket FROM embeddings
-), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
-SELECT vec_id, label,
-       round(
+), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
          list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
          / (sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6) AS cosine
-FROM b, q WHERE bucket = qb AND vec_id != 0
-ORDER BY cosine DESC, vec_id ASC LIMIT 10
+            * sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))) AS raw_cosine
+  FROM b, q WHERE bucket = qb AND vec_id != 0
+)
+-- order on the UNROUNDED cosine (matches the Spark path's limit), round only
+-- in the projection: rank-boundary candidates differing past 1e-6 stay stable
+SELECT vec_id, label, round(raw_cosine, 6) AS cosine
+FROM scored ORDER BY raw_cosine DESC, vec_id ASC LIMIT 10
 """
 
 
@@ -1377,7 +1388,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_near_dups": (q_winnow_near_dups, SQL_WINNOW_NEAR_DUPS),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
-    # rows-only (no portable oracle):
+    "tieba_search_notes": (q_tieba_search_notes, SQL_TIEBA_SEARCH_NOTES),
+    "tieba_comments": (q_tieba_comments, SQL_TIEBA_COMMENTS),
+    # rows-only (no portable oracle) — ALWAYS after every paired entry: the
+    # driver's gate covers a prefix of this dict, so paired queries must
+    # never sit behind a rows-only crawl slice (r4 lost the 2 tieba pairs
+    # off a 50-entry gate this way).
     "simhash_sigs": (q_simhash, None),
     "minhash_near_dups_xx": (q_minhash_near_dups_xx, None),
     "multimodal_features": (q_multimodal_features, None),
@@ -1387,7 +1403,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_slice": (q_crawl_slice, None),
     "crawl_search_slice": (q_crawl_search_slice, None),
     "crawl_creator_graph": (q_crawl_creator_graph, None),
-    "tieba_search_notes": (q_tieba_search_notes, SQL_TIEBA_SEARCH_NOTES),
-    "tieba_comments": (q_tieba_comments, SQL_TIEBA_COMMENTS),
     "crawl_tieba_slice": (q_crawl_tieba_slice, None),
 }

@@ -81,3 +81,34 @@ def spread(df, key: str | None = None):
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key else df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# Tracked persist: intra-query materialization points (LSH band tables,
+# exploded fingerprint tables, candidate-pair lists) persist() so multiple
+# consumers share one compute pass — but a lazily-returned DataFrame can't
+# unpersist its own intermediate before the caller materializes it. The
+# session-level registry keeps every such handle so a long-lived session
+# (the oracle gate, bench, a notebook) can release them between queries
+# instead of accumulating dead cached tables for its lifetime.
+_PERSISTED: list = []
+
+
+def persist_tracked(df):
+    """``df.persist()`` with session-level bookkeeping for later release."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate; returns how many were freed."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n

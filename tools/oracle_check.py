@@ -75,7 +75,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
     failures = 0
+    from mediacrawler_spark.session import release_persisted
+
     for name, (fn, sql) in REGISTRY.items():
+        # Release the previous entry's tracked materialization caches (LSH
+        # band tables etc.) so per-query timings and memory are independent
+        # and the session never accumulates dead cached tables.
+        release_persisted()
+        spark.catalog.clearCache()
         if only and name not in only:
             continue
         if sql is None:
@@ -101,6 +108,10 @@ def main():
             print(f"[MISMATCH]  {name}: " + "; ".join(errs))
         else:
             print(f"[OK]        {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+    release_persisted()
+    spark.catalog.clearCache()
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"[cache] persistent RDDs after gate: {leftover}")
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -235,7 +235,7 @@ def orchestrate() -> None:
                 rec["driver_mem"] = env.get("SPARK_GRAFT_DRIVER_MEM", "8g")
                 rec["phases"] = [ln for ln in p.stdout.splitlines() if ln.startswith("[crawl")]
                 runs[f"{mode}:{cpus}"].append(rec)
-                print(f"{mode} rep{rep} {line}")
+                print(f"{mode} rep{rep} {json_lines[-1]}")
                 os.makedirs("BENCH", exist_ok=True)
                 out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH/scaling_runs.json")
                 with open(out, "w") as f:
