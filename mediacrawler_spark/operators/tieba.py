@@ -100,6 +100,11 @@ def _first(pattern: str, s: str, group: int = 1, flags: int = re.DOTALL) -> str:
     return m.group(group) if m else ""
 
 
+# HTML5 §13.1.2.4 optional-end-tag elements: a recovering parser closes
+# these at the next sibling open, never at end-of-document.
+_OMITTABLE_END = {"li", "p", "tr", "td", "th", "dd", "dt", "option", "rt", "rp"}
+
+
 def _balanced_inner(s: str, open_pat: str, tag: str) -> str:
     """Inner HTML of the first element whose open tag matches ``open_pat``,
     with NESTING handled: the close position is found by tracking the depth
@@ -116,6 +121,7 @@ def _balanced_inner(s: str, open_pat: str, tag: str) -> str:
     # can be told apart and skipped — they open no scope, and counting them
     # as depth+1 made the capture run to end-of-string on sloppy markup
     token = re.compile(rf"<{tag}\b[^>]*>|</{tag}\s*>", re.IGNORECASE)
+    first_sib = -1  # first same-tag open seen at depth 1 (sibling level)
     for t in token.finditer(s, start):
         tok = t.group(0)
         if tok.startswith("</"):
@@ -123,8 +129,24 @@ def _balanced_inner(s: str, open_pat: str, tag: str) -> str:
             if depth == 0:
                 return s[start:t.start()]
         elif not tok.rstrip(">").endswith("/"):
+            if depth == 1 and first_sib < 0:
+                first_sib = t.start()
             depth += 1
-    return s[start:]
+    # Unclosed-tag fallback: depth never returned to 0 (real tieba markup
+    # drops close tags — an unclosed <li> mid-list is common). lxml's
+    # recovering parser implicitly closes the element at its next sibling:
+    # bound the capture at the next match of the SAME open pattern, and —
+    # for tags whose end tag the HTML spec lets authors omit (li/p/tr/…,
+    # which html parsers auto-close at the next same-tag open) — at the
+    # first same-tag open that appeared at sibling depth. End-of-string
+    # only when no sibling bound exists.
+    bounds = []
+    sib = re.search(open_pat, s[start:], re.DOTALL)
+    if sib:
+        bounds.append(start + sib.start())
+    if first_sib >= 0 and tag.lower() in _OMITTABLE_END:
+        bounds.append(first_sib)
+    return s[start:min(bounds)] if bounds else s[start:]
 
 
 # -- the six extractors (row-wise; each doubles as the test oracle) ---------

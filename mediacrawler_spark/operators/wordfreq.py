@@ -72,19 +72,49 @@ def fmm_tokens_col(text: Column, dict_words: list[str]) -> Column:
     return _seg(text)
 
 
+def dag_hmm_tokens_col(text: Column, dict_words) -> Column:
+    """E18 full-fidelity mode — jieba-algorithm segmentation (prefix-dict
+    DAG + max-prob route + BMES-HMM OOV discovery,
+    functions/cjkseg.py) as an Arrow-batched pandas UDF. The segmenter is
+    built ONCE per executor python worker from the broadcast-closure
+    dictionary (constructor cost is per-batch-stream, not per-row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mediacrawler_spark.functions.cjkseg import DagHmmSegmenter
+
+    words = dict(dict_words) if isinstance(dict_words, dict) else list(dict_words)
+    seg_box: list = []
+
+    @pandas_udf("array<string>")
+    def _seg(s):
+        if not seg_box:
+            seg_box.append(DagHmmSegmenter(words))
+        seg = seg_box[0]
+        return s.fillna("").map(seg.cut)
+
+    return _seg(text)
+
+
 def word_freq(
     documents: DataFrame,
     text_col: str = "text",
     drop_stopwords: bool = False,
     dict_words: list[str] | None = None,
+    segmenter: str = "fmm",
 ) -> DataFrame:
     """A2/A3 word frequency. ``dict_words`` switches the tokenizer from
-    whitespace (latin corpora) to FMM segmentation over that dictionary
-    (CJK corpora — the reference's jieba path)."""
+    whitespace (latin corpora) to dictionary segmentation (CJK corpora —
+    the reference's jieba path): ``segmenter="fmm"`` (forward maximum
+    matching, the documented container-constraint default) or
+    ``"dag_hmm"`` (the jieba algorithm itself — prefix-dict DAG,
+    max-prob route, HMM Viterbi for out-of-dict words)."""
     from mediacrawler_spark.session import spread
 
     if dict_words is not None:
-        toks = fmm_tokens_col(F.col(text_col), dict_words)
+        if segmenter == "dag_hmm":
+            toks = dag_hmm_tokens_col(F.col(text_col), dict_words)
+        else:
+            toks = fmm_tokens_col(F.col(text_col), dict_words)
     else:
         toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
     df = spread(documents).select(F.explode(toks).alias("word"))

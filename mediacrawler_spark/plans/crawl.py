@@ -394,6 +394,7 @@ class CrawlEngine:
         broadcast_threshold: int = 3_000_000,
         fetch_join: str = "auto",  # auto | broadcast | colocated
         state_codec: str | None = None,  # intra-round state parquet codec
+        async_writes: bool | None = None,  # overlap output writes with next round
     ):
         self.spark = spark
         # column-pruned pages scan: never drag html for rows we don't fetch
@@ -445,6 +446,25 @@ class CrawlEngine:
         self.state_codec = state_codec or os.environ.get(
             "SPARK_GRAFT_STATE_CODEC", "zstd"
         )
+        # One-round-deep write pipeline: a round's OUTPUT tables (content,
+        # comments, … — read only at crawl end) are written on a background
+        # pool while the NEXT round's build+parse runs; only frontier+seen —
+        # the two tables the next round consumes — commit synchronously.
+        # The round's _SUCCESS marker is written at drain time (next round's
+        # write phase, or run() exit), so the crash contract is unchanged:
+        # no marker → round incomplete → re-runs on resume. Rationale: the
+        # write phase is the rounds-mode scaling bind (0.46–0.61 at 2→8
+        # cores, BENCH/BASELINE.md) because state-write bandwidth is a
+        # per-box resource here — overlapping it behind the next round's
+        # compute hides it at BOTH levels and especially where write
+        # fraction is largest. On a real cluster this is the standard
+        # async-commit pattern (Iceberg commit of round N racing round
+        # N+1's scan/compute, barriered one round deep).
+        if async_writes is None:
+            async_writes = os.environ.get("SPARK_GRAFT_ASYNC_WRITES", "1") == "1"
+        self.async_writes = async_writes
+        self._pending: dict | None = None
+        self._write_pool: ThreadPoolExecutor | None = None
         # NOTE a parquet lineage-cut of the parsed frame (write once, rebuild
         # as a trivial scan so the ~15 consumer analyses stop re-walking the
         # ~1000-expression parse tree) was built and measured as a NET LOSS
@@ -500,6 +520,10 @@ class CrawlEngine:
     # (gate-disabled feature → _round hands the cached _empty frame through
     # unchanged) is pruned: no dir, reconstructed empty from DELTA_DDL.
     def _write_deltas(self, tables: dict[str, DataFrame], round_id: int) -> dict[str, DataFrame]:
+        # join the PREVIOUS round's in-flight output writes first: at most
+        # one round is ever pending, and its marker must land before any
+        # later round's marker (resume reads the marker sequence).
+        self._drain_pending()
         base = self.ckpt or self._scratch
         path = os.path.join(base, f"round={round_id:05d}", "deltas")
         # a re-run of a crashed round must not inherit stale tbl= dirs (the
@@ -524,16 +548,63 @@ class CrawlEngine:
                 .parquet(os.path.join(path, f"tbl={name}"))
             )
 
-        if len(live) > 1:
-            with ThreadPoolExecutor(max_workers=len(live)) as ex:
-                list(ex.map(_write_one, live))  # re-raises the first failure
-        elif live:
-            _write_one(live[0])
-        with open(os.path.join(path, "_SUCCESS"), "w"):
-            pass
+        # frontier + seen are the only tables the NEXT round consumes — they
+        # always commit synchronously; everything else is an end-of-crawl
+        # output and may ride the async pipeline.
+        critical = [n for n in live if n in ("frontier", "seen")]
+        deferred = [n for n in live if n not in ("frontier", "seen")]
+        if len(critical) > 1:
+            with ThreadPoolExecutor(max_workers=len(critical)) as ex:
+                list(ex.map(_write_one, critical))
+        elif critical:
+            _write_one(critical[0])
+        if self.async_writes and deferred:
+            if self._write_pool is None:
+                self._write_pool = ThreadPoolExecutor(
+                    max_workers=len(_MUX_ORDER), thread_name_prefix="delta-write"
+                )
+            futs = [self._write_pool.submit(_write_one, n) for n in deferred]
+            # ownership of the round's persisted intermediates moves to the
+            # pending record — the in-flight jobs still read them; drained
+            # (and unpersisted) one round later or at run() exit.
+            self._pending = {
+                "round_id": round_id,
+                "futures": futs,
+                "path": path,
+                "cache": getattr(self, "_round_cache", []),
+            }
+            self._round_cache = []
+        else:
+            if len(deferred) > 1:
+                with ThreadPoolExecutor(max_workers=len(deferred)) as ex:
+                    list(ex.map(_write_one, deferred))  # re-raises the first failure
+            elif deferred:
+                _write_one(deferred[0])
+            with open(os.path.join(path, "_SUCCESS"), "w"):
+                pass
         # only frontier + seen are consumed per-round; the output tables are
         # read once at the end as one multi-path scan per table (table())
         return {name: self._read_delta(round_id, name) for name in ("frontier", "seen")}
+
+    def _drain_pending(self) -> None:
+        """Join the pending round's deferred write jobs, commit its marker,
+        release its cached intermediates. A failed job raises BEFORE the
+        marker is written — the round stays uncommitted and re-runs on
+        resume, exactly the synchronous crash contract."""
+        p, self._pending = self._pending, None
+        if p is None:
+            self._t_drain = 0.0
+            return
+        t0 = time.time()
+        try:
+            for f in p["futures"]:
+                f.result()
+            with open(os.path.join(p["path"], "_SUCCESS"), "w"):
+                pass
+        finally:
+            for df in p["cache"]:
+                df.unpersist()
+        self._t_drain = time.time() - t0
 
     def _read_delta(self, round_id: int, name: str) -> DataFrame:
         base = self.ckpt or self._scratch
@@ -1339,14 +1410,28 @@ class CrawlEngine:
                         f"(select_job={getattr(self, '_t_select', 0.0):.2f}s) "
                         f"parse={t_parse:.2f}s "
                         f"write={t_write:.2f}s "
+                        # drain = previous round's deferred output writes
+                        # joined inside THIS round's write phase (async
+                        # pipeline); already included in write= above
+                        f"drain={getattr(self, '_t_drain', 0.0):.2f}s "
                         f"total={time.time()-t0:.2f}s seen_n={self._seen_count}"
                     )
                 if frontier.filter(F.col("not_before_round") <= F.lit(max_rounds)).limit(1).count() == 0:
                     break
         finally:
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(self._default_shuffle)
-            )
+            # the last round's deferred writes must land (and its marker
+            # commit) before the result tables are read back — and before
+            # the engine reports the crawl done. A deferred-write failure
+            # raises here with the round uncommitted (re-runs on resume).
+            try:
+                self._drain_pending()
+            finally:
+                if self._write_pool is not None:
+                    self._write_pool.shutdown(wait=True)
+                    self._write_pool = None
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(self._default_shuffle)
+                )
 
         def table(name: str) -> DataFrame:
             """One multi-path parquet read per table over all completed

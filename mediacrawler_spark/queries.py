@@ -1063,11 +1063,62 @@ WHERE text IS NOT NULL
 
 
 def q_extract_kernel(spark, sf):  # E1 — byte-identical text kernel over synth pages
+    # rows-only by necessity: the input is synth-built HTML pages (Spark
+    # code DuckDB can't reproduce); the kernel ITSELF is oracle-paired by
+    # extract_kernel_pair below, and pytest pins it byte-identical to the
+    # reference port (tests/test_text_kernel.py).
     from mediacrawler_spark.functions.text import extract_text_udf
     from mediacrawler_spark.synth import build_content_pages
     docs = _t(spark, sf, "documents")
     pages = build_content_pages(docs)
     return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+# E1 paired variant: both sides wrap documents.text in the SAME literal
+# html envelope (script + style blocks spanning newlines, nested tags,
+# [] sentinels so the text's own boundary whitespace stays interior) and
+# run the kernel — Spark via the REAL Arrow UDF (tools/crawler_util.py:
+# 199-203 port), DuckDB via an independent RE2 twin. RE2 has no
+# backreference, so the oracle strips script and style in two passes —
+# equivalent here because documents.text contains no '<'/'>' (verified
+# at every SF) and the envelope holds exactly one block of each.
+_KERNEL_ENV_HEAD = (
+    '<html>\n<head><script type="text/javascript">\nvar a = 1 < 2;\n'
+    '</script><style media="all">\n.x{}\n</style></head>\n<body>\n'
+    '<div class="c">['
+)
+_KERNEL_ENV_TAIL = "]</div>\n</body></html>\n"
+
+
+def q_extract_kernel_pair(spark, sf):
+    from mediacrawler_spark.functions.text import extract_text_udf
+    docs = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    env = F.concat(F.lit(_KERNEL_ENV_HEAD), F.col("text"), F.lit(_KERNEL_ENV_TAIL))
+    return docs.select("doc_id", extract_text_udf(env).alias("extracted"))
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB E'...' escape-string literal (repr's \\n would be a literal
+    backslash-n in plain SQL strings)."""
+    return "E'" + s.replace("'", "''").replace("\n", "\\n") + "'"
+
+
+SQL_EXTRACT_KERNEL_PAIR = f"""
+WITH env AS (
+  SELECT doc_id,
+         {_sql_str(_KERNEL_ENV_HEAD)} || text || {_sql_str(_KERNEL_ENV_TAIL)} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       trim(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(page, '(?s)<script[^>]*>.*?</script>', '', 'g'),
+             '(?s)<style[^>]*>.*?</style>', '', 'g'),
+           '<[^>]+>', '', 'g'),
+         concat(' ', chr(9), chr(10), chr(13))) AS extracted
+FROM env
+"""
 
 
 def _detach_scratch(df, eng):
@@ -1390,6 +1441,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "tieba_search_notes": (q_tieba_search_notes, SQL_TIEBA_SEARCH_NOTES),
     "tieba_comments": (q_tieba_comments, SQL_TIEBA_COMMENTS),
+    "extract_kernel_pair": (q_extract_kernel_pair, SQL_EXTRACT_KERNEL_PAIR),
     # rows-only (no portable oracle) — ALWAYS after every paired entry: the
     # driver's gate covers a prefix of this dict, so paired queries must
     # never sit behind a rows-only crawl slice (r4 lost the 2 tieba pairs

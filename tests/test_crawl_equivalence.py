@@ -342,3 +342,33 @@ def test_xhs_api_html_fallback_in_loop(spark):
         assert r["time"] == e["create_ms"]
     eng.clear_scratch()
     pages.unpersist()
+
+
+def test_async_write_pipeline_equals_sync(spark, corpus, engine_result, tmp_path):
+    """The one-round-deep async output-write pipeline must be a pure
+    latency optimization: identical seen set, identical comment rows, and
+    every round's _SUCCESS marker committed by run()'s drain — vs the
+    synchronous write path (async_writes=False)."""
+    import os
+
+    pages, seeds, robots = corpus
+    ck = str(tmp_path / "ckpt_async")
+    eng = CrawlEngine(
+        spark, pages, robots, checkpoint_dir=ck, use_bloom=True, async_writes=True
+    )
+    res = eng.run(seeds, max_rounds=25)
+    sync_eng = CrawlEngine(spark, pages, robots, use_bloom=True, async_writes=False)
+    sync = sync_eng.run(seeds, max_rounds=25)
+    assert {r["url"] for r in res.seen.collect()} == {
+        r["url"] for r in sync.seen.collect()
+    }
+    a = {(r["comment_id"], r["note_id"]) for r in res.comments.collect()}
+    b = {(r["comment_id"], r["note_id"]) for r in sync.comments.collect()}
+    assert a == b
+    # every completed round committed its marker (drain ran to the end)
+    rounds = sorted(d for d in os.listdir(ck) if d.startswith("round="))
+    assert rounds
+    for d in rounds:
+        assert os.path.isfile(os.path.join(ck, d, "deltas", "_SUCCESS")), d
+    # nothing left pending and the pool is shut down
+    assert eng._pending is None and eng._write_pool is None

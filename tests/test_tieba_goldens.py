@@ -358,3 +358,45 @@ def test_golden_creator_info_minimal():
         "fans": "0",
         "registration_duration": "",
     }
+
+
+# ---------------------------------------------------------------------------
+# 7. sloppy markup — unclosed tags (lxml-recovery fallback in _balanced_inner)
+
+def test_golden_note_detail_unclosed_li():
+    """An unclosed <li class="l_reply_num"> followed by a sibling <li>.
+
+    lxml (the reference's parser, help.py:99-133) auto-closes an <li> at
+    the next sibling <li> open (HTML5 optional end tags), so the reply-num
+    capture must stop BEFORE the pager li — the pager's own
+    <span class="red">99</span> must not leak into the red-number list.
+    Before the fallback this capture ran to end-of-string.
+    """
+    page = (
+        "<html><head><title>烂标签【烂吧】_百度贴吧</title></head><body>"
+        '<a class="card_title_fname" href="/f?kw=烂吧">烂吧</a>'
+        '<a id="lzonly_cntn" href="/p/777?see_lz=1">只看楼主</a>'
+        '<div id="thread_theme_5"><ul><li class="l_reply_num">'
+        '<span class="red">7</span>回复贴，共<span class="red">2</span>页'
+        '<li class="pager_theme"><span class="red">99</span></ul></div>'
+        "</body></html>"
+    )
+    got = T.extract_note_detail(page)
+    assert got["total_replay_num"] == "7"
+    assert got["total_replay_page"] == "2"
+
+
+def test_balanced_inner_unclosed_fallbacks():
+    # nested <div> never closed, but the SAME open pattern recurs →
+    # bound at the next open-pattern match (sibling recovery)
+    s = '<div class="x">a <div>b <div class="x">c</div>'
+    assert T._balanced_inner(s, r'<div class="x">', "div") == "a <div>b "
+    # omittable-end tag (<li>): bound at the first sibling-depth <li> open
+    s2 = "<li>alpha <span>s</span> <li>beta</li>"
+    assert T._balanced_inner(s2, r"<li>", "li") == "alpha <span>s</span> "
+    # non-omittable tag with no recurring pattern: end-of-string unchanged
+    s3 = '<div class="y">tail <div>never closed'
+    assert T._balanced_inner(s3, r'<div class="y">', "div") == "tail <div>never closed"
+    # balanced input: fallback must not fire (nesting still exact)
+    s4 = '<li class="a">x <li>inner</li> y</li><li class="a">z</li>'
+    assert T._balanced_inner(s4, r'<li class="a">', "li") == "x <li>inner</li> y"
