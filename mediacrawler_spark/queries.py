@@ -1123,10 +1123,14 @@ FROM env
 
 def _detach_scratch(df, eng):
     """Materialize a crawl-result table off the engine's /tmp scratch dir
-    (eager localCheckpoint — these slices are small) so the scratch tree can
-    be deleted before returning; without this every bench rep / oracle run
-    left a crawl_state_* tree behind."""
-    out = df.localCheckpoint(eager=True)
+    so the scratch tree can be deleted before returning; without this every
+    bench rep / oracle run left a crawl_state_* tree behind. Collect +
+    recreate (schema-exact) rather than localCheckpoint: these slices are
+    ≤ a few hundred rows, and a local checkpoint pins a persistent RDD that
+    neither ``clearCache`` nor ``release_persisted`` can free — the one
+    cache-hygiene leak left after round 4's tracked-persist sweep."""
+    rows = df.collect()
+    out = df.sparkSession.createDataFrame(rows, schema=df.schema)
     eng.clear_scratch()
     return out
 

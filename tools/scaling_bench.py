@@ -75,9 +75,15 @@ def worker(cpus: int, amplify: int | None = None) -> None:
     amplify = amplify or MODE_AMPLIFY.get(MODE, AMPLIFY)
     if CLUSTER_MODE == "local-cluster":
         n_exec = max(cpus // EXEC_CORES, 1)
-        master = f"local-cluster[{n_exec},{EXEC_CORES},9216]"
+        # Worker-JVM size (3rd master arg, MB) = executor memory + 1 g
+        # headroom. Per-executor memory is FIXED across levels — that is
+        # the memory-proportional protocol a real N→4N scale-out has, and
+        # each executor is its own JVM: own heap, own GC, own Python
+        # workers, own shuffle/disk writers.
+        exec_mem_g = int(os.environ.get("SPARK_GRAFT_EXEC_MEM", "4"))
+        master = f"local-cluster[{n_exec},{EXEC_CORES},{(exec_mem_g + 1) * 1024}]"
         extra = {
-            "spark.executor.memory": "8g",
+            "spark.executor.memory": f"{exec_mem_g}g",
             "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         }
     else:
@@ -201,7 +207,7 @@ def orchestrate() -> None:
     (single-shared-machine variance is large; every raw run is listed).
     Raw results (incl. per-round phase lines) → BENCH/scaling_runs.json;
     the human-written analysis lives in BENCH/BASELINE.md."""
-    modes = ["superstep", "rounds"]
+    modes = os.environ.get("SPARK_GRAFT_SCALE_MODES", "superstep,rounds").split(",")
     runs: dict[str, list[dict]] = {f"{m}:{c}": [] for m in modes for c in (CPUS_N, CPUS_4N)}
     for mode in modes:
         for rep in range(REPEATS):
