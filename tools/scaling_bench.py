@@ -223,9 +223,18 @@ def orchestrate() -> None:
                 mpc = os.environ.get("SPARK_GRAFT_MEM_PER_CORE")
                 if mpc:
                     env["SPARK_GRAFT_DRIVER_MEM"] = f"{cpus * int(mpc)}g"
+                # Explicit per-level heap override (the round-4 protocol is
+                # N=2c@8g vs 4N=8c@16g — not expressible as one g/core).
+                lvl_mem = os.environ.get(
+                    "SPARK_GRAFT_MEM_N" if cpus == CPUS_N else "SPARK_GRAFT_MEM_4N"
+                )
+                if lvl_mem:
+                    env["SPARK_GRAFT_DRIVER_MEM"] = lvl_mem
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-                    capture_output=True, text=True, timeout=3000, env=env,
+                    capture_output=True, text=True,
+                    timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "3000")),
+                    env=env,
                 )
                 json_lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
                 if not json_lines:
@@ -236,6 +245,13 @@ def orchestrate() -> None:
                            "stderr_tail": p.stderr[-2000:]}
                     runs[f"{mode}:{cpus}"].append(rec)
                     print(f"{mode} rep{rep} cpus={cpus} FAILED rc={p.returncode}")
+                    os.makedirs("BENCH", exist_ok=True)
+                    out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH/scaling_runs.json")
+                    with open(out, "w") as f:
+                        json.dump({"cpus_n": CPUS_N, "repeats": REPEATS,
+                                   "cluster": CLUSTER_MODE,
+                                   "mem_per_core_g": os.environ.get("SPARK_GRAFT_MEM_PER_CORE"),
+                                   "runs": runs}, f, indent=1)
                     continue
                 rec = json.loads(json_lines[-1])
                 rec["driver_mem"] = env.get("SPARK_GRAFT_DRIVER_MEM", "8g")
